@@ -1,0 +1,225 @@
+"""Typed configuration with the same CLI surface as the reference.
+
+The reference threads a single argparse namespace through every layer
+(reference: main.py:18-63). Here the same flag surface is parsed into a frozen
+dataclass, with validation, plus flags the reference *uses* but never defines
+(--mask_percent / --mask_m / --ewc_flag — reference dataset/dataset.py:98,118,156
+and main.py:958 crash without them) and TPU-specific additions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+# Dataset name -> number of classes (reference: main.py:491-509, basic_model.py).
+N_CLASSES = {
+    "CREMAD": 6,
+    "MVSA": 3,
+    "Food101": 101,
+    "IEMOCAP": 4,
+}
+
+MODULATIONS = ("Normal", "OGM", "OGM_GE", "QMF")
+FUSION_METHODS = ("sum", "concat", "gated", "film")
+LORBS = ("large", "base", "m3ae")
+OPTIMIZERS = ("sgd", "adam")
+
+
+@dataclass(frozen=True)
+class MLAConfig:
+    """Full experiment configuration.
+
+    Field names mirror the reference argparse flags (reference: main.py:18-63)
+    so every README command line maps 1:1.
+    """
+
+    # --- data / task ---
+    dataset: str = "CREMAD"
+    fps: int = 1
+    use_video_frames: int = 3
+    batch_size: int = 64
+    epochs: int = 100
+    data_root: str = "data"          # root for datalists + preprocessed artifacts
+
+    # --- training regime ---
+    modulation: str = "Normal"       # Normal | OGM | OGM_GE | QMF
+    fusion_method: str = "concat"    # sum | concat | gated | film
+    gs_flag: bool = False            # MLA alternating unimodal adaptation
+    dynamic: bool = False            # entropy-gated fusion at eval
+    modal3: bool = False             # 3-modality (IEMOCAP)
+    clip: bool = False               # precomputed CLIP features
+    lorb: str = "base"               # large (CAV-MAE) | base (ResNet-18) | m3ae
+
+    # --- optimization ---
+    optimizer: str = "sgd"
+    learning_rate: float = 1e-3
+    lr_decay_step: int = 70
+    lr_decay_ratio: float = 0.1
+    modulation_starts: int = 0
+    modulation_ends: int = 50
+    alpha: float = 0.3               # OGM-GE alpha
+
+    # --- fusion alphas ---
+    av_alpha: float = 0.5            # 2-modal fixed fusion weight (driver uses 0.55: main.py:968)
+    a_alpha: float = 0.35
+    v_alpha: float = 0.25
+    t_alpha: float = 0.4
+
+    # --- CAV-MAE specific ---
+    cav_opti: bool = False           # Adam w/ split lr groups (main.py:735-747)
+    cav_lrs: bool = False            # MultiStepLR(2,1000,1)x0.5 (main.py:752-757)
+    cav_augnois: bool = False        # SpecAug + noise/roll (dataset.py:281-294,319-321)
+
+    # --- checkpointing / logging ---
+    ckpt_path: str = "ckpt"
+    ckpt_load_path_train: Optional[str] = None
+    train: bool = False
+    use_tensorboard: bool = True
+    tensorboard_path: str = "ckpt/"
+    random_seed: int = 0
+
+    # --- flags used but never defined by the reference CLI ---
+    mask_percent: float = 0.0        # QMF / missing-modality masking fraction
+    mask_m: str = "none"             # which modality to mask ("audio"/"visual"/"none")
+    ewc_flag: bool = False
+
+    # --- TPU-native additions (no reference equivalent) ---
+    gs_rls: bool = False             # run the *intended* RLS orthogonal projection.
+                                     # The shipped reference guard `n == "module.weight"`
+                                     # never matches (utils/utils.py:32), so the default
+                                     # (False) reproduces shipped behavior: plain
+                                     # alternating unimodal updates.
+    ghost_updates: bool = True       # torch-1.8.1 parity: optimizer.zero_grad() zeroes
+                                     # (not deletes) grads, so later MLA sub-steps apply
+                                     # momentum+weight-decay-only updates to encoders
+                                     # stepped earlier in the same batch (main.py:440,452).
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    num_workers: int = 8             # host-side loader threads
+    mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
+    half_precision_eval: bool = True
+    log_every: int = 50
+
+    # ------------------------------------------------------------------
+    @property
+    def n_classes(self) -> int:
+        if self.dataset not in N_CLASSES:
+            raise NotImplementedError(f"Incorrect dataset name {self.dataset}")
+        return N_CLASSES[self.dataset]
+
+    @property
+    def n_modalities(self) -> int:
+        return 3 if self.modal3 else 2
+
+    @property
+    def feature_dim(self) -> int:
+        """Per-modality feature width entering the fusion head.
+
+        Reference: basic_model.py:31-34 (base/clip: 512), 94-97 (large: 768),
+        148-155 (m3ae: 768), 216-223 (modal3: 768).
+        """
+        if self.lorb == "base" or self.clip:
+            return 512
+        return 768
+
+    @property
+    def head_input_dim(self) -> int:
+        """Input width of the shared fusion head.
+
+        In MLA (gs_flag) mode the shared head takes a single modality's features
+        (half/third width); in joint mode it takes the concat.
+        """
+        if self.fusion_method == "sum":
+            return self.feature_dim
+        if self.gs_flag:
+            return self.feature_dim
+        return self.feature_dim * self.n_modalities
+
+    def validate(self) -> "MLAConfig":
+        if self.modulation not in MODULATIONS:
+            raise ValueError(f"modulation must be one of {MODULATIONS}, got {self.modulation}")
+        if self.fusion_method not in FUSION_METHODS:
+            raise ValueError(f"fusion_method must be one of {FUSION_METHODS}")
+        if self.lorb not in LORBS:
+            raise ValueError(f"lorb must be one of {LORBS}")
+        if self.optimizer not in OPTIMIZERS:
+            raise ValueError(f"optimizer must be one of {OPTIMIZERS}")
+        if self.fusion_method in ("gated", "film") and not self.gs_flag:
+            # Defined but never constructed in the reference (basic_model.py:35-38).
+            raise NotImplementedError(
+                f"fusion_method={self.fusion_method} is declared but not wired in the "
+                "reference classifier composition; use sum or concat")
+        _ = self.n_classes
+        if self.modal3 and self.dataset != "IEMOCAP":
+            raise ValueError("--modal3 is only supported with IEMOCAP")
+        return self
+
+    def replace(self, **kw) -> "MLAConfig":
+        return dataclasses.replace(self, **kw).validate()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse surface mirroring reference main.py:18-63 (plus missing flags)."""
+    p = argparse.ArgumentParser(description="MLA-TPU trainer")
+    d = MLAConfig()
+    p.add_argument("--dataset", default=d.dataset, type=str)
+    p.add_argument("--modulation", default=d.modulation, type=str, choices=list(MODULATIONS))
+    p.add_argument("--fusion_method", default=d.fusion_method, type=str, choices=list(FUSION_METHODS))
+    p.add_argument("--fps", default=d.fps, type=int)
+    p.add_argument("--use_video_frames", default=d.use_video_frames, type=int)
+    p.add_argument("--batch_size", default=d.batch_size, type=int)
+    p.add_argument("--epochs", default=d.epochs, type=int)
+    p.add_argument("--optimizer", default=d.optimizer, type=str, choices=list(OPTIMIZERS))
+    p.add_argument("--learning_rate", default=d.learning_rate, type=float)
+    p.add_argument("--lr_decay_step", default=d.lr_decay_step, type=int)
+    p.add_argument("--lr_decay_ratio", default=d.lr_decay_ratio, type=float)
+    p.add_argument("--modulation_starts", default=d.modulation_starts, type=int)
+    p.add_argument("--modulation_ends", default=d.modulation_ends, type=int)
+    p.add_argument("--alpha", default=d.alpha, type=float)
+    p.add_argument("--ckpt_path", default=d.ckpt_path, type=str)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--use_tensorboard", default=d.use_tensorboard, type=bool)
+    p.add_argument("--tensorboard_path", default=d.tensorboard_path, type=str)
+    p.add_argument("--random_seed", default=d.random_seed, type=int)
+    p.add_argument("--gpu_ids", default="", type=str,
+                   help="ignored; devices come from the JAX mesh")
+    p.add_argument("--lorb", default=d.lorb, type=str, choices=list(LORBS))
+    p.add_argument("--gs_flag", action="store_true")
+    p.add_argument("--av_alpha", default=d.av_alpha, type=float)
+    p.add_argument("--cav_opti", action="store_true")
+    p.add_argument("--cav_lrs", action="store_true")
+    p.add_argument("--cav_augnois", action="store_true")
+    p.add_argument("--modal3", action="store_true")
+    p.add_argument("--dynamic", action="store_true")
+    p.add_argument("--a_alpha", default=d.a_alpha, type=float)
+    p.add_argument("--v_alpha", default=d.v_alpha, type=float)
+    p.add_argument("--t_alpha", default=d.t_alpha, type=float)
+    p.add_argument("--clip", action="store_true")
+    p.add_argument("--ckpt_load_path_train", default=None, type=str)
+    # Flags the reference uses but forgot to define:
+    p.add_argument("--mask_percent", default=d.mask_percent, type=float)
+    p.add_argument("--mask_m", default=d.mask_m, type=str)
+    p.add_argument("--ewc_flag", action="store_true")
+    # TPU-native additions:
+    p.add_argument("--data_root", default=d.data_root, type=str)
+    p.add_argument("--gs_rls", action="store_true",
+                   help="enable the intended RLS orthogonal gradient projection "
+                        "(the shipped reference's projection is dead code)")
+    p.add_argument("--no_ghost_updates", action="store_true",
+                   help="disable torch-1.8.1 ghost momentum/wd updates in MLA sub-steps")
+    p.add_argument("--param_dtype", default=d.param_dtype, type=str)
+    p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    p.add_argument("--num_workers", default=d.num_workers, type=int)
+    p.add_argument("--log_every", default=d.log_every, type=int)
+    return p
+
+
+def config_from_args(argv=None) -> MLAConfig:
+    ns = build_parser().parse_args(argv)
+    kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(MLAConfig)
+          if hasattr(ns, f.name)}
+    kw["ghost_updates"] = not ns.no_ghost_updates
+    return MLAConfig(**kw).validate()

@@ -1,0 +1,120 @@
+"""Fused masked attention for the ViT encoders (M3AE / CAV-MAE).
+
+The reference materializes (B, H, S, S) score tensors and applies the padding
+mask by overwriting masked columns with -1e7 before softmax
+(reference: models/m3ae.py:95-127; timm attention in models/cav_mae.py:16).
+Here the whole (scores -> mask -> softmax -> weighted sum) pipeline is one
+Pallas TPU kernel: q is processed in 128-row blocks, K/V live in VMEM for the
+full (<=1k-token) sequence, softmax accumulates in fp32, and the two matmuls
+hit the MXU back to back. Sequence growth stays kernel-local (q-blockwise),
+so longer contexts need no architectural change (SURVEY.md §5.7).
+
+Mask semantics replicated exactly: where mask > 0, the *scaled* score is
+replaced by -1e7 (not added), then softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e7
+_QBLOCK = 128
+
+
+def attention_reference(q, k, v, padding_mask=None, scale=None):
+    """Plain-XLA reference. q,k,v: (B, H, S, D); padding_mask: (B, S) 1=padded."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if padding_mask is not None:
+        m = padding_mask[:, None, None, :] > 0
+        scores = jnp.where(m, _NEG, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)            # (QB, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (S, D)
+    v = v_ref[0, 0].astype(jnp.float32)            # (S, D)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (QB, S)
+    mask = mask_ref[0]                              # (S,)
+    scores = jnp.where(mask[None, :] > 0, _NEG, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / s
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
+    """Pallas fused attention. q,k,v: (B, H, S, D); padding_mask: (B, S) 1=padded.
+
+    Pads S to a multiple of 128 (padded keys masked out via the same -1e7 path,
+    padded query rows dropped on return).
+    """
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if padding_mask is None:
+        padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
+    padding_mask = padding_mask.astype(jnp.float32)
+
+    qp = _pad_to(q, 2, _QBLOCK)
+    kp = _pad_to(k, 2, _QBLOCK)
+    vp = _pad_to(v, 2, _QBLOCK)
+    # padded key positions must be masked out
+    mp = _pad_to(padding_mask + 0.0, 1, _QBLOCK)
+    if mp.shape[1] != s:
+        mp = mp.at[:, s:].set(1.0)
+    sp = qp.shape[2]
+    nq = sp // _QBLOCK
+
+    grid = (b, h, nq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, _QBLOCK, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _QBLOCK, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp, mp)
+    return out[:, :, :s, :]
+
+
+def fused_attention(q, k, v, padding_mask=None, scale=None):
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return flash_attention(q, k, v, padding_mask, scale)
+    return attention_reference(q, k, v, padding_mask, scale)

@@ -1,0 +1,64 @@
+"""Device mesh + sharding for data-parallel MLA training.
+
+The reference parallelizes with single-process ``torch.nn.DataParallel``
+(reference: main.py:732) — per-GPU batch shards with a gather onto cuda:0.
+TPU-native equivalent: a 1-D ``jax.sharding.Mesh`` over all chips; batches are
+sharded on the leading axis, parameters/optimizer state are replicated, and the
+gradient all-reduce is inserted by GSPMD (riding ICI intra-slice). A second
+(currently size-1) ``model`` axis is kept in the mesh so tensor-parallel
+shardings can be introduced without changing call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              mesh_shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a (data, model) mesh. Default: all devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if mesh_shape is None:
+        mesh_shape = (len(devices), 1)
+    if len(mesh_shape) == 1:
+        mesh_shape = (mesh_shape[0], 1)
+    grid = devices.reshape(mesh_shape)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Every leaf must have a leading batch dimension divisible by the data-axis
+    size (the loader pads partial batches — see mla_tpu/data/pipeline.py).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated (params, optimizer state, Pl)."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,175 @@
+"""Kernel golden tests (SURVEY.md §4): STFT vs torch.stft (librosa-equivalent),
+Kaldi fbank vs an independent numpy implementation, image pipeline vs PIL/torch
+semantics, attention kernel vs the naive einsum reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mla_tpu.ops import attention, fbank, image, pos_embed, specaug, stft
+
+
+class TestStft:
+    def test_matches_torch_stft(self):
+        # torch.stft(center=True, pad_mode='reflect', hann periodic) == librosa.stft
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(16000 * 5).astype(np.float32)
+        ours = np.asarray(stft.log_stft(jnp.asarray(x)))
+        ref = torch.stft(torch.from_numpy(x), n_fft=256, hop_length=128,
+                         window=torch.hann_window(256, periodic=True),
+                         center=True, pad_mode="reflect", return_complex=True)
+        ref = np.log(np.abs(ref.numpy()) + 1e-7)
+        assert ours.shape == (129, 626)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_batched(self):
+        x = np.random.default_rng(1).standard_normal((3, 80000)).astype(np.float32)
+        out = stft.log_stft(jnp.asarray(x))
+        assert out.shape == (3, 129, 626)
+
+
+def _numpy_kaldi_fbank(wave, sr=16000, num_bins=128):
+    """Independent numpy port of Kaldi fbank math (dither=0, hanning,
+    snip_edges, preemph 0.97, remove_dc, 512-pt FFT, mel 20..nyquist)."""
+    win, shift, padded = 400, 160, 512
+    m = 1 + (len(wave) - win) // shift
+    frames = np.stack([wave[i * shift:i * shift + win] for i in range(m)]).astype(np.float64)
+    frames -= frames.mean(axis=1, keepdims=True)
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - 0.97 * pre
+    n = np.arange(win)
+    frames *= 0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))
+    frames = np.pad(frames, ((0, 0), (0, padded - win)))
+    spec = np.fft.rfft(frames, axis=1)
+    power = np.abs(spec) ** 2
+
+    def mel(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+    fft_freqs = np.arange(padded // 2 + 1) * sr / padded
+    mlo, mhi = mel(20.0), mel(sr / 2.0)
+    delta = (mhi - mlo) / (num_bins + 1)
+    out = np.zeros((m, num_bins))
+    melf = mel(fft_freqs)
+    for j in range(num_bins):
+        left, center, right = mlo + j * delta, mlo + (j + 1) * delta, mlo + (j + 2) * delta
+        up = (melf - left) / (center - left)
+        down = (right - melf) / (right - center)
+        w = np.where((melf > left) & (melf <= center), up,
+                     np.where((melf > center) & (melf < right), down, 0.0))
+        w[-1] = 0.0  # kaldi computes banks over bins [0, padded//2)
+        out[:, j] = power @ w
+    return np.log(np.maximum(out, np.finfo(np.float32).eps))
+
+
+class TestFbank:
+    def test_matches_numpy_kaldi(self):
+        rng = np.random.default_rng(2)
+        wave = rng.standard_normal(16000).astype(np.float32) * 0.1
+        ours = np.asarray(fbank.kaldi_fbank(jnp.asarray(wave)))
+        ref = _numpy_kaldi_fbank(wave)
+        assert ours.shape == ref.shape == (98, 128)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_wav2fbank_pads_to_1024(self):
+        wave = np.random.default_rng(3).standard_normal(32000).astype(np.float32)
+        out = fbank.wav2fbank(jnp.asarray(wave))
+        assert out.shape == (1024, 128)
+        # frames beyond the signal are zero-padded
+        assert np.allclose(np.asarray(out)[300:], 0.0)
+
+
+class TestImage:
+    def test_resize_center_crop_box_roundtrip(self):
+        # 480x640 -> Resize(256) short side -> CenterCrop(224):
+        i, j, h, w = image.resize_center_crop_box(480, 640, 256, 224)
+        assert h == w == pytest.approx(224 * 480 / 256)
+        assert i == pytest.approx((480 - h) / 2)
+
+    def test_crop_resize_normalize_shapes_and_values(self):
+        imgs = np.full((2, 64, 48, 3), 128, dtype=np.uint8)
+        boxes = np.array([[0, 0, 64, 48], [16, 8, 32, 32]], dtype=np.float32)
+        flip = np.array([False, True])
+        out = image.crop_resize_normalize(
+            jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(flip),
+            jnp.asarray(image.IMAGENET_MEAN), jnp.asarray(image.IMAGENET_STD),
+            out_hw=(224, 224))
+        assert out.shape == (2, 3, 224, 224)
+        expect = (128 / 255.0 - image.IMAGENET_MEAN) / image.IMAGENET_STD
+        np.testing.assert_allclose(np.asarray(out)[0, :, 100, 100], expect, atol=1e-5)
+
+    def test_random_resized_crop_params_in_bounds(self):
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            i, j, h, w = image.random_resized_crop_params(rng, 100, 150)
+            assert 0 <= i <= 100 - h and 0 <= j <= 150 - w and h > 0 and w > 0
+
+    def test_patchify_matches_einops(self):
+        einops = pytest.importorskip("einops")
+        x = np.random.default_rng(4).standard_normal((2, 3, 32, 32)).astype(np.float32)
+        ours = np.asarray(image.patchify(jnp.asarray(x), 16))
+        ref = einops.rearrange(x, "b c (h p1) (w p2) -> b (h w) (c p1 p2)", p1=16, p2=16)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestSpecAug:
+    def test_masks_and_preserves_shape(self):
+        x = jnp.ones((2, 1024, 128))
+        out = specaug.augment_fbank_batch(jax.random.key(0), x, noise=False)
+        out = np.asarray(out)
+        assert out.shape == (2, 1024, 128)
+        assert (out == 0).any() and (out == 1).any()
+
+    def test_noise_roll_changes_values(self):
+        x = jnp.zeros((1, 1024, 128))
+        out = np.asarray(specaug.augment_fbank_batch(jax.random.key(1), x, noise=True))
+        assert np.abs(out).max() < 0.1 and np.abs(out).max() > 0
+
+
+class TestPosEmbed:
+    def test_1d_shape_and_values(self):
+        emb = pos_embed.get_1d_sincos_pos_embed(768, 256)
+        assert emb.shape == (1, 256, 768)
+        np.testing.assert_allclose(emb[0, 0, :384], 0.0, atol=1e-7)   # sin(0)
+        np.testing.assert_allclose(emb[0, 0, 384:], 1.0, atol=1e-7)   # cos(0)
+
+    def test_2d_square(self):
+        emb = pos_embed.get_2d_sincos_pos_embed_square(768, 256)
+        assert emb.shape == (1, 256, 768)
+
+    def test_2d_rect_audio_grid(self):
+        emb = pos_embed.get_2d_sincos_pos_embed_rect(768, 8, 64)
+        assert emb.shape == (512, 768)
+
+
+class TestAttention:
+    def _rand_qkv(self, b=2, h=4, s=37, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+        return mk(), mk(), mk()
+
+    def test_reference_softmax_masking(self):
+        q, k, v = self._rand_qkv()
+        mask = np.zeros((2, 37), np.float32)
+        mask[:, 30:] = 1.0
+        out = attention.attention_reference(q, k, v, jnp.asarray(mask))
+        # masked keys contribute (almost) nothing: recompute without them
+        out2 = attention.attention_reference(q[..., :30, :], k[..., :30, :],
+                                             v[..., :30, :])
+        np.testing.assert_allclose(np.asarray(out[..., :30, :]),
+                                   np.asarray(out2), atol=1e-4)
+
+    def test_pallas_matches_reference_interpret(self):
+        q, k, v = self._rand_qkv(b=2, h=2, s=200, d=64, seed=1)
+        mask = np.zeros((2, 200), np.float32)
+        mask[0, 150:] = 1.0
+        ours = attention.flash_attention(q, k, v, jnp.asarray(mask), interpret=True)
+        ref = attention.attention_reference(q, k, v, jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_pallas_no_mask(self):
+        q, k, v = self._rand_qkv(b=1, h=2, s=128, d=64, seed=2)
+        ours = attention.flash_attention(q, k, v, interpret=True)
+        ref = attention.attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
