@@ -1,0 +1,320 @@
+"""Classifier composition per (lorb, dataset, modal3, clip).
+
+Reference: models/basic_model.py:1-322. Each classifier exposes a uniform
+interface used by the jitted train/eval steps:
+
+  encode(batch, modality, train)  -> (B, feat_dim) pooled features for one
+                                     modality ('a' | 'v' | 't'; reference
+                                     naming: for --lorb m3ae, 'a' is TEXT)
+  head(feat)                      -> shared-head logits (MLA/gs path,
+                                     main.py:432,445,457)
+  __call__(batch, train)          -> joint forward dict:
+                                     {'a','v'[,'t'],'out'} features+fused logits
+                                     (or per-modality logits under QMF)
+
+``batch`` is a dict with the standardized keys produced by mla_tpu.data:
+  spec (B,1,F,T) | image (B,3,T,H,W) or (B,3,H,W) | token (B,L) |
+  padding_mask (B,L) | fbank (B,1024,128) | token_feat/image_feat (B,512)
+
+Head widths (basic_model.py:31-34,94-97,148-155,216-223): feat-width shared
+head when gs_flag, concat width otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.models import fusion as fusion_lib
+from mla_tpu.models.cav_mae import CAVMAEFT
+from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
+from mla_tpu.models.layers import xavier_normal
+from mla_tpu.models.resnet import (ResNet18, fold_frames, pool_audio,
+                                   pool_visual)
+from mla_tpu.ops.image import patchify
+
+Dtype = Any
+
+
+def _make_fusion(fusion_method: str, gs_flag: bool, n_classes: int,
+                 n_modalities: int, dtype):
+    """fusion_module per basic_model.py:28-40 composition rules."""
+    if fusion_method == "sum":
+        return fusion_lib.SumFusion(n_classes, dtype=dtype, name="fusion_module")
+    if fusion_method != "concat":
+        raise NotImplementedError(
+            f"fusion {fusion_method} declared but never constructed in the reference")
+    if gs_flag:
+        return fusion_lib.SharedHead(n_classes, dtype=dtype, name="fusion_module")
+    if n_modalities == 3:
+        return fusion_lib.ConcatFusion3(n_classes, dtype=dtype, name="fusion_module")
+    return fusion_lib.ConcatFusion(n_classes, dtype=dtype, name="fusion_module")
+
+
+def _qmf_head(n_classes, dtype, name):
+    return nn.Dense(n_classes, kernel_init=xavier_normal,
+                    bias_init=nn.initializers.zeros, dtype=dtype, name=name)
+
+
+class _FusionMixin:
+    """Shared joint-forward logic over encoded features."""
+
+    def _gs_out(self, feats: Dict[str, jnp.ndarray]):
+        """MLA/gs joint forward: features + per-modality shared-head logits
+        (the driver applies fc_out per modality — main.py:432,445,457,636-639).
+        Returning logits here also materializes head params at init time."""
+        out = dict(feats)
+        for m, f in feats.items():
+            out[f"out_{m}"] = self.fusion_module(f)
+        return out
+
+    def _fuse(self, feats: Dict[str, jnp.ndarray]):
+        if self.modal3:
+            a, v, t = feats["a"], feats["v"], feats["t"]
+            if self.fusion_method == "sum":
+                raise NotImplementedError("sum fusion is 2-modal in the reference")
+            _, _, _, out = self.fusion_module(a, v, t)
+            return {"a": a, "v": v, "t": t, "out": out}
+        a, v = feats["a"], feats["v"]
+        _, _, out = self.fusion_module(a, v)
+        return {"a": a, "v": v, "out": out}
+
+
+class AVClassifier(nn.Module, _FusionMixin):
+    """2x ResNet-18 (audio spectrogram / visual frames) — basic_model.py:14-77."""
+    n_classes: int = 6
+    fusion_method: str = "concat"
+    gs_flag: bool = False
+    qmf: bool = False
+    dtype: Dtype = jnp.float32
+    modal3: bool = False
+
+    def setup(self):
+        self.audio_net = ResNet18(modality="audio", dtype=self.dtype,
+                                  name="audio_net")
+        self.visual_net = ResNet18(modality="visual", dtype=self.dtype,
+                                   name="visual_net")
+        self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
+                                          self.n_classes, 2, self.dtype)
+        if self.qmf:
+            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc")
+            self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
+
+    def encode(self, batch, modality: str, train: bool = True):
+        if modality == "a":
+            spec = batch["spec"]                    # (B, 1, F, T)
+            x = jnp.transpose(spec, (0, 2, 3, 1))   # NHWC
+            return pool_audio(self.audio_net(x, train))
+        if modality == "v":
+            image = batch["image"]                  # (B, 3, T, H, W)
+            b = image.shape[0]
+            return pool_visual(self.visual_net(fold_frames(image), train), b)
+        raise ValueError(modality)
+
+    def head(self, feat):
+        return self.fusion_module(feat)
+
+    def __call__(self, batch, train: bool = True):
+        a = self.encode(batch, "a", train)
+        v = self.encode(batch, "v", train)
+        if self.qmf:
+            return {"a": self.audio_fc(a), "v": self.visual_fc(v)}
+        if self.gs_flag:
+            return self._gs_out({"a": a, "v": v})
+        return self._fuse({"a": a, "v": v})
+
+
+class CAVClassifier(nn.Module, _FusionMixin):
+    """2x CAV-MAE-FT, mean-pooled tokens — basic_model.py:80-125."""
+    n_classes: int = 6
+    fusion_method: str = "concat"
+    gs_flag: bool = False
+    qmf: bool = False
+    dtype: Dtype = jnp.float32
+    modal3: bool = False
+    audio_length: int = 1024
+    img_size: int = 224
+
+    def setup(self):
+        self.mae_a = CAVMAEFT(self.n_classes, img_size=self.img_size,
+                              audio_length=self.audio_length, dtype=self.dtype,
+                              name="mae_a")
+        self.mae_v = CAVMAEFT(self.n_classes, img_size=self.img_size,
+                              audio_length=self.audio_length, dtype=self.dtype,
+                              name="mae_v")
+        self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
+                                          self.n_classes, 2, self.dtype)
+
+    def encode(self, batch, modality: str, train: bool = True):
+        if modality == "a":
+            return self.mae_a.forward_feat(batch["fbank"], None, "a").mean(axis=1)
+        if modality == "v":
+            return self.mae_v.forward_feat(None, batch["image"], "v").mean(axis=1)
+        raise ValueError(modality)
+
+    def head(self, feat):
+        return self.fusion_module(feat)
+
+    def __call__(self, batch, train: bool = True):
+        a = self.encode(batch, "a", train)
+        v = self.encode(batch, "v", train)
+        if self.gs_flag:
+            return self._gs_out({"a": a, "v": v})
+        return self._fuse({"a": a, "v": v})
+
+
+class M3AEClassifier(nn.Module, _FusionMixin):
+    """2x M3AE base: text-only + image-only — basic_model.py:127-200.
+
+    Reference naming quirk kept: 'a' is the TEXT branch, 'v' the image branch.
+    """
+    n_classes: int = 101
+    fusion_method: str = "concat"
+    gs_flag: bool = False
+    qmf: bool = False
+    model_type: str = "base"
+    dtype: Dtype = jnp.float32
+    modal3: bool = False
+
+    def setup(self):
+        cfg = M3AEConfig(model_type=self.model_type)
+        self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
+        self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
+        self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
+                                          self.n_classes, 2, self.dtype)
+        if self.qmf:
+            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc")
+            self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
+
+    def encode(self, batch, modality: str, train: bool = True):
+        if modality == "a":
+            token = batch["token"].reshape(batch["token"].shape[0], -1)
+            pm = batch["padding_mask"].reshape(token.shape)
+            return self.mae_a(None, token, pm).mean(axis=1)
+        if modality == "v":
+            patches = patchify(batch["image"], 16)   # basic_model.py:184-186
+            return self.mae_v(patches, None, None).mean(axis=1)
+        raise ValueError(modality)
+
+    def head(self, feat):
+        return self.fusion_module(feat)
+
+    def __call__(self, batch, train: bool = True):
+        a = self.encode(batch, "a", train)
+        v = self.encode(batch, "v", train)
+        if self.qmf:
+            return {"a": self.audio_fc(a), "v": self.visual_fc(v)}
+        if self.gs_flag:
+            return self._gs_out({"a": a, "v": v})
+        return self._fuse({"a": a, "v": v})
+
+
+class Modal3Classifier(nn.Module, _FusionMixin):
+    """CAV-MAE audio + M3AE image + M3AE text — basic_model.py:202-275."""
+    n_classes: int = 4
+    fusion_method: str = "concat"
+    gs_flag: bool = False
+    qmf: bool = False
+    model_type: str = "base"
+    dtype: Dtype = jnp.float32
+    modal3: bool = True
+    audio_length: int = 1024
+
+    def setup(self):
+        cfg = M3AEConfig(model_type=self.model_type)
+        self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
+                              dtype=self.dtype, name="mae_a")
+        self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
+        self.mae_t = M3AEEncoder(cfg, dtype=self.dtype, name="mae_t")
+        self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
+                                          self.n_classes, 3, self.dtype)
+        if self.qmf:
+            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc")
+            self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
+            self.txtual_fc = _qmf_head(self.n_classes, self.dtype, "txtual_fc")
+
+    def encode(self, batch, modality: str, train: bool = True):
+        if modality == "a":
+            return self.mae_a.forward_feat(batch["fbank"], None, "a").mean(axis=1)
+        if modality == "v":
+            patches = patchify(batch["image"], 16)
+            return self.mae_v(patches, None, None).mean(axis=1)
+        if modality == "t":
+            token = batch["token"].reshape(batch["token"].shape[0], -1)
+            pm = batch["padding_mask"].reshape(token.shape)
+            return self.mae_t(None, token, pm).mean(axis=1)
+        raise ValueError(modality)
+
+    def head(self, feat):
+        return self.fusion_module(feat)
+
+    def __call__(self, batch, train: bool = True):
+        a = self.encode(batch, "a", train)
+        v = self.encode(batch, "v", train)
+        t = self.encode(batch, "t", train)
+        if self.qmf:
+            return {"a": self.audio_fc(a), "v": self.visual_fc(v),
+                    "t": self.txtual_fc(t)}
+        if self.gs_flag:
+            return self._gs_out({"a": a, "v": v, "t": t})
+        return self._fuse({"a": a, "v": v, "t": t})
+
+
+class CLIPClassifier(nn.Module, _FusionMixin):
+    """Fusion over precomputed 512-d CLIP features — basic_model.py:278-319."""
+    n_classes: int = 101
+    fusion_method: str = "concat"
+    gs_flag: bool = False
+    qmf: bool = False
+    dtype: Dtype = jnp.float32
+    modal3: bool = False
+
+    def setup(self):
+        self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
+                                          self.n_classes, 2, self.dtype)
+
+    def encode(self, batch, modality: str, train: bool = True):
+        if modality == "a":
+            return batch["token_feat"].reshape(batch["token_feat"].shape[0], -1)
+        if modality == "v":
+            return batch["image_feat"].reshape(batch["image_feat"].shape[0], -1)
+        raise ValueError(modality)
+
+    def head(self, feat):
+        return self.fusion_module(feat)
+
+    def __call__(self, batch, train: bool = True):
+        a = self.encode(batch, "a", train)
+        v = self.encode(batch, "v", train)
+        if self.gs_flag:
+            return self._gs_out({"a": a, "v": v})
+        return self._fuse({"a": a, "v": v})
+
+
+def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
+    """Model-select mirroring main.py:706-718."""
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    kw = dict(n_classes=cfg.n_classes, fusion_method=cfg.fusion_method,
+              gs_flag=cfg.gs_flag, qmf=cfg.modulation == "QMF", dtype=dtype)
+    if cfg.lorb == "large":
+        kw.pop("qmf")
+        return CAVClassifier(**kw)
+    if cfg.lorb == "m3ae":
+        if cfg.modal3:
+            return Modal3Classifier(**kw)
+        return M3AEClassifier(**kw)
+    if cfg.clip:
+        return CLIPClassifier(**kw)
+    return AVClassifier(**kw)
+
+
+MODALITIES = {"AVClassifier": ("a", "v"), "CAVClassifier": ("a", "v"),
+              "M3AEClassifier": ("a", "v"), "CLIPClassifier": ("a", "v"),
+              "Modal3Classifier": ("a", "v", "t")}
+
+
+def modalities_of(cfg: MLAConfig):
+    return ("a", "v", "t") if cfg.modal3 else ("a", "v")

@@ -1,0 +1,130 @@
+"""Shared Flax building blocks for the ViT encoders.
+
+Two block flavors exist in the reference:
+  - M3AE pre-LN block with qkv bias and -1e7 padding-mask attention
+    (reference: models/m3ae.py:86-160)
+  - CAV-MAE block = timm ViT block extended with per-modality LayerNorms
+    selected by a ``modality`` argument (reference: models/cav_mae.py:86-113)
+
+Both use the same fused attention core (mla_tpu/ops/attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mla_tpu.ops.attention import fused_attention
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+xavier_normal = nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV projection -> fused masked attention -> output projection.
+
+    Matches m3ae.Attention (m3ae.py:88-127) / timm Attention (cav_mae.py:16):
+    single fused qkv Linear (bias per flavor), scale = head_dim**-0.5.
+    """
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask: Optional[jnp.ndarray] = None):
+        b, n, c = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                       kernel_init=xavier_uniform, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, c // h)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = fused_attention(q, k, v, padding_mask)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier_uniform,
+                        name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2, hidden = mlp_ratio*dim (m3ae.TransformerMLP / timm Mlp)."""
+    dim: int
+    out_dim: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype,
+                     kernel_init=xavier_uniform, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=xavier_uniform,
+                        name="fc2")(x)
+
+
+class M3AEBlock(nn.Module):
+    """Pre-LN block, -1e7 padding-mask attention (m3ae.py:131-160)."""
+    emb_dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = MultiHeadAttention(self.emb_dim, self.num_heads, use_bias=True,
+                               dtype=self.dtype, name="attn")(y, padding_mask)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(self.emb_dim, self.emb_dim, self.mlp_ratio, dtype=self.dtype,
+                name="mlp")(y)
+        return x + y
+
+
+class CAVBlock(nn.Module):
+    """timm ViT block + per-modality norms (cav_mae.py:86-113).
+
+    ``modality``: None -> shared norm1/norm2; 'a'/'v' -> norm1_a/norm2_a etc.
+    Attention/MLP weights are shared across modalities; only the LNs switch.
+    All six LayerNorms are declared eagerly (the reference constructs them all,
+    cav_mae.py:90-101) so imported checkpoints always line up regardless of
+    which modality paths a given run traces.
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        # Params declared eagerly (not lazily-called submodules) so every
+        # modality's LN exists in the tree no matter which path init traces.
+        self.ln = {
+            f"norm{i}{s}": (self.param(f"norm{i}{s}_scale", ones, (self.dim,)),
+                            self.param(f"norm{i}{s}_bias", zeros, (self.dim,)))
+            for i in (1, 2) for s in ("", "_a", "_v")
+        }
+        self.attn = MultiHeadAttention(self.dim, self.num_heads, use_bias=True,
+                                       dtype=self.dtype, name="attn")
+        self.mlp = Mlp(self.dim, self.dim, self.mlp_ratio, dtype=self.dtype,
+                       name="mlp")
+
+    def _ln(self, name, x):
+        scale, bias = self.ln[name]
+        mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * scale + bias).astype(self.dtype)
+
+    def __call__(self, x, modality: Optional[str] = None):
+        suffix = "" if modality is None else f"_{modality}"
+        x = x + self.attn(self._ln(f"norm1{suffix}", x))
+        x = x + self.mlp(self._ln(f"norm2{suffix}", x))
+        return x

@@ -1,0 +1,137 @@
+"""M3AE (Masked Multimodal Autoencoder) encoder, Flax.
+
+Reference: models/m3ae.py:271-370 — BERT-vocab (30522) text embedding,
+linear image-patch embedding (768 -> emb_dim), per-modality type embeddings,
+CLS token, pre-LN Transformer with -1e7 padding-mask attention, final LN.
+``forward_representation`` concatenates [CLS, image tokens, text tokens]
+(m3ae.py:342-370); either modality may be absent (static choice -> its own
+compiled graph). Size configs small/base/large/huge/debug (m3ae.py:226-268).
+
+The reference was itself ported *from* JAX/Flax (the original param mapping is
+documented in comments at m3ae.py:422-467); this module restores the natural
+Flax layout. Pos embeddings are fixed sin-cos tables baked in as constants.
+
+Init parity quirks kept: text embedding ~ N(0, 1) (m3ae.py:317); cls/type
+embeddings use torch ``.normal_(0.02)`` which is mean=0.02, std=1.0
+(m3ae.py:322-330) — NOT std=0.02.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mla_tpu.models.layers import M3AEBlock, xavier_uniform
+from mla_tpu.ops.pos_embed import (get_1d_sincos_pos_embed,
+                                   get_2d_sincos_pos_embed_square)
+
+Dtype = Any
+
+# model_type -> (emb_dim, depth, num_heads, mlp_ratio)  (m3ae.py:226-268)
+M3AE_CONFIGS = {
+    "small": (384, 12, 6, 4),
+    "base": (768, 12, 12, 4),
+    "large": (1024, 24, 16, 4),
+    "huge": (1280, 32, 16, 4),
+    "debug": (1024, 2, 16, 4),
+}
+
+
+def _mean_offset_normal(mean: float, std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * nn.initializers.normal(1.0)(key, shape, dtype)
+    return init
+
+
+@dataclasses.dataclass(frozen=True)
+class M3AEConfig:
+    model_type: str = "base"
+    text_vocab_size: int = 30522
+    use_type_embedding: bool = True
+
+    @property
+    def emb_dim(self):
+        return M3AE_CONFIGS[self.model_type][0]
+
+    @property
+    def depth(self):
+        return M3AE_CONFIGS[self.model_type][1]
+
+    @property
+    def num_heads(self):
+        return M3AE_CONFIGS[self.model_type][2]
+
+    @property
+    def mlp_ratio(self):
+        return M3AE_CONFIGS[self.model_type][3]
+
+
+class M3AEEncoder(nn.Module):
+    config: M3AEConfig = M3AEConfig()
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.config
+        # Embedding params declared eagerly (fixed shapes) so a single instance
+        # supports text-only, image-only and joint calls with one param tree.
+        self.text_embedding_table = self.param(
+            "text_embedding", nn.initializers.normal(1.0),
+            (c.text_vocab_size, c.emb_dim))
+        self.image_kernel = self.param("image_kernel", xavier_uniform,
+                                       (768, c.emb_dim))
+        self.image_bias = self.param("image_bias", nn.initializers.zeros,
+                                     (c.emb_dim,))
+        init0202 = _mean_offset_normal(0.02, 1.0)
+        self.cls_token = self.param("cls_token", init0202, (1, 1, c.emb_dim))
+        if c.use_type_embedding:
+            self.encoder_image_type_embedding = self.param(
+                "encoder_image_type_embedding", init0202, (1, 1, c.emb_dim))
+            self.encoder_text_type_embedding = self.param(
+                "encoder_text_type_embedding", init0202, (1, 1, c.emb_dim))
+        self.blocks = [
+            M3AEBlock(c.emb_dim, c.num_heads, c.mlp_ratio, dtype=self.dtype,
+                      name=f"block_{i}") for i in range(c.depth)]
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name="final_norm")
+
+    def __call__(self, image: Optional[jnp.ndarray], text: Optional[jnp.ndarray],
+                 text_padding_mask: Optional[jnp.ndarray] = None):
+        """forward_representation (m3ae.py:342-370).
+
+        image: (B, N_img, 768) pre-patchified pixels or None
+        text:  (B, L) int token ids or None
+        text_padding_mask: (B, L) float, 1 = padded
+        returns (B, 1 + N_img + L, emb_dim) token features.
+        """
+        c = self.config
+        assert image is not None or text is not None
+        batch = image.shape[0] if image is not None else text.shape[0]
+        parts = [jnp.broadcast_to(self.cls_token, (batch, 1, c.emb_dim)).astype(self.dtype)]
+        masks = [jnp.zeros((batch, 1), dtype=jnp.float32)]
+        if image is not None:
+            pos = jnp.asarray(get_2d_sincos_pos_embed_square(c.emb_dim, image.shape[1]))
+            x = (jnp.matmul(image.astype(self.dtype),
+                            self.image_kernel.astype(self.dtype),
+                            preferred_element_type=jnp.float32).astype(self.dtype)
+                 + self.image_bias.astype(self.dtype)) + pos
+            if c.use_type_embedding:
+                x = x + self.encoder_image_type_embedding
+            parts.append(x.astype(self.dtype))
+            masks.append(jnp.zeros((batch, image.shape[1]), dtype=jnp.float32))
+        if text is not None:
+            pos = jnp.asarray(get_1d_sincos_pos_embed(c.emb_dim, text.shape[1]))
+            x = jnp.take(self.text_embedding_table, text, axis=0) + pos
+            if c.use_type_embedding:
+                x = x + self.encoder_text_type_embedding
+            parts.append(x.astype(self.dtype))
+            if text_padding_mask is None:
+                text_padding_mask = jnp.zeros(text.shape, dtype=jnp.float32)
+            masks.append(text_padding_mask.astype(jnp.float32))
+        x = jnp.concatenate(parts, axis=1)
+        padding_mask = jnp.concatenate(masks, axis=1)
+        for blk in self.blocks:
+            x = blk(x, padding_mask)
+        return self.final_norm(x)

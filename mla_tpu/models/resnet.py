@@ -1,0 +1,104 @@
+"""ResNet-18 audio/visual backbones as Flax modules.
+
+Reference: models/backbone.py:1-213 — from-scratch torchvision-style ResNet
+(BasicBlock, no fc/avgpool), with a 1-channel conv1 stem for audio spectrograms
+and 3-channel for visual (backbone.py:78-85); the visual forward folds T frames
+into the batch axis: (B, C, T, H, W) -> (B*T, C, H, W) (backbone.py:142-147).
+
+TPU-native choices: NHWC layout internally (XLA's preferred conv layout),
+explicit torch-equivalent padding so spatial dims match the reference exactly,
+BatchNorm with *global-batch* statistics under pjit (GSPMD reduces across the
+data mesh axis inside the jitted step — the reference's DataParallel computes
+per-replica stats; flag documented in SURVEY.md §7 hard-parts #4).
+
+Init matches main.py:719's weight_init application: Conv kaiming-normal
+(fan_out, relu), BN gamma=1 beta=0 (utils/utils.py:106-114).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mla_tpu.models.layers import kaiming_out
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        needs_proj = self.stride != 1 or x.shape[-1] != self.filters
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_out, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        if needs_proj:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=kaiming_out, name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, dtype=self.dtype,
+                                    name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18(nn.Module):
+    """Returns the pre-pool (B, H', W', 512) feature map, like backbone.py."""
+    modality: str = "visual"  # 'audio' (1-ch stem) | 'visual' (3-ch stem)
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        # x: NHWC. Audio: (B, F, T, 1); visual frames already folded to
+        # (B*T, H, W, 3) by the classifier.
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2 ** stage)
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(filters, stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x, train)
+        return x
+
+
+def fold_frames(visual_bcthw: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, T, H, W) -> (B*T, H, W, C) — the reference's frame fold
+    (backbone.py:142-147) plus NCHW->NHWC."""
+    b, c, t, h, w = visual_bcthw.shape
+    x = jnp.transpose(visual_bcthw, (0, 2, 3, 4, 1))  # B T H W C
+    return x.reshape(b * t, h, w, c)
+
+
+def pool_audio(feat: jnp.ndarray) -> jnp.ndarray:
+    """adaptive_avg_pool2d(.,1) + flatten (basic_model.py:61-65): (B,H,W,C)->(B,C)."""
+    return jnp.mean(feat, axis=(1, 2))
+
+
+def pool_visual(feat: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """Unfold frames then adaptive_avg_pool3d: (B*T,H,W,C)->(B,C)."""
+    bt, h, w, c = feat.shape
+    t = bt // batch
+    return jnp.mean(feat.reshape(batch, t, h, w, c), axis=(1, 2, 3))

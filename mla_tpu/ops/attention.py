@@ -47,8 +47,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (QB, S)
-    mask = mask_ref[0]                              # (S,)
-    scores = jnp.where(mask[None, :] > 0, _NEG, scores)
+    mask = mask_ref[0]                              # (1, S)
+    scores = jnp.where(mask > 0, _NEG, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -90,6 +90,7 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
         mp = mp.at[:, s:].set(1.0)
     sp = qp.shape[2]
     nq = sp // _QBLOCK
+    mp = mp[:, None, :]  # (B, 1, Sp) — TPU block tiling needs >=2 trailing dims
 
     grid = (b, h, nq)
     out = pl.pallas_call(
@@ -103,7 +104,7 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec((1, 1, sp), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, _QBLOCK, d), lambda bi, hi, qi: (bi, hi, qi, 0),

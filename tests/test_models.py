@@ -1,0 +1,144 @@
+"""Model shape/compose tests on tiny inputs (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.models import classifiers
+from mla_tpu.models.cav_mae import CAVMAEFT
+from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
+from mla_tpu.models.resnet import ResNet18
+
+
+def _init_apply(model, batch, method=None, train=False):
+    variables = model.init(jax.random.key(0), batch, train=train)
+    out, _ = model.apply(variables, batch, train=train,
+                         mutable=["batch_stats"])
+    return variables, out
+
+
+class TestResNet18:
+    def test_audio_stem_and_shape(self):
+        m = ResNet18(modality="audio")
+        x = jnp.zeros((2, 64, 80, 1))
+        v = m.init(jax.random.key(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        # conv1 stride2 + maxpool stride2 + 3 stride-2 stages = /32
+        assert out.shape == (2, 2, 3, 512)
+        assert v["params"]["conv1"]["kernel"].shape == (7, 7, 1, 64)
+
+    def test_batch_stats_update(self):
+        m = ResNet18(modality="visual")
+        x = jnp.ones((2, 32, 32, 3))
+        v = m.init(jax.random.key(0), x, train=True)
+        _, new_state = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert "batch_stats" in new_state
+
+
+class TestM3AE:
+    def test_text_only_and_image_only(self):
+        enc = M3AEEncoder(M3AEConfig(model_type="small"))
+        token = jnp.zeros((2, 8), jnp.int32)
+        pm = jnp.zeros((2, 8), jnp.float32)
+        v = enc.init(jax.random.key(0), None, token, pm)
+        out = enc.apply(v, None, token, pm)
+        assert out.shape == (2, 9, 384)  # CLS + 8 text tokens
+        img = jnp.zeros((2, 4, 768))
+        out2 = enc.apply(v, img, None, None)
+        assert out2.shape == (2, 5, 384)
+
+    def test_padding_mask_matters(self):
+        enc = M3AEEncoder(M3AEConfig(model_type="small"))
+        rng = np.random.default_rng(0)
+        token = jnp.asarray(rng.integers(0, 30522, (1, 8)), jnp.int32)
+        v = enc.init(jax.random.key(0), None, token, jnp.zeros((1, 8)))
+        pm0 = enc.apply(v, None, token, jnp.zeros((1, 8)))
+        pm1 = enc.apply(v, None, token,
+                        jnp.zeros((1, 8)).at[:, 4:].set(1.0))
+        assert not np.allclose(np.asarray(pm0[:, 0]), np.asarray(pm1[:, 0]))
+
+
+class TestCAVMAE:
+    def test_forward_feat_modes(self):
+        m = CAVMAEFT(label_dim=6, img_size=32, audio_length=128)
+        fbank = jnp.zeros((2, 128, 128))
+        image = jnp.zeros((2, 3, 32, 32))
+        v = m.init(jax.random.key(0), fbank, image, method=m.forward_feat,
+                   mode="av")
+        fa, fv = m.apply(v, fbank, image, method=m.forward_feat, mode="av")
+        assert fa.shape == (2, 64, 768)   # 128*128/256 audio patches
+        assert fv.shape == (2, 4, 768)    # (32/16)^2
+        fa2 = m.apply(v, fbank, None, method=m.forward_feat, mode="a")
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fa2), atol=1e-5)
+
+    def test_all_lns_materialized(self):
+        m = CAVMAEFT(label_dim=6, img_size=32, audio_length=128)
+        v = m.init(jax.random.key(0), jnp.zeros((1, 128, 128)),
+                   jnp.zeros((1, 3, 32, 32)), method=m.forward_feat, mode="av")
+        blk = v["params"]["blocks_u_0"]
+        for name in ["norm1", "norm1_a", "norm1_v", "norm2", "norm2_a", "norm2_v"]:
+            assert f"{name}_scale" in blk, sorted(blk.keys())
+
+
+class TestClassifiers:
+    def _av_batch(self, b=2):
+        return {"spec": jnp.zeros((b, 1, 64, 80)),
+                "image": jnp.zeros((b, 3, 3, 32, 32)),
+                "label": jnp.zeros((b,), jnp.int32)}
+
+    def test_av_joint(self):
+        m = classifiers.AVClassifier(n_classes=6)
+        batch = self._av_batch()
+        _, out = _init_apply(m, batch, train=True)
+        assert out["out"].shape == (2, 6)
+        assert out["a"].shape == out["v"].shape == (2, 512)
+
+    def test_av_gs_head(self):
+        m = classifiers.AVClassifier(n_classes=6, gs_flag=True)
+        batch = self._av_batch()
+        v = m.init(jax.random.key(0), batch, train=False)
+        out, _ = m.apply(v, batch, train=False, mutable=["batch_stats"])
+        assert set(out) == {"a", "v", "out_a", "out_v"}
+        assert out["out_a"].shape == (2, 6)
+        logits = m.apply(v, out["a"], method=m.head)
+        assert logits.shape == (2, 6)
+        # shared head is feat-width (512), not concat width
+        assert v["params"]["fusion_module"]["fc_out"]["kernel"].shape == (512, 6)
+
+    def test_av_qmf(self):
+        m = classifiers.AVClassifier(n_classes=6, qmf=True)
+        _, out = _init_apply(m, self._av_batch())
+        assert out["a"].shape == out["v"].shape == (2, 6)
+
+    def test_av_sum_fusion(self):
+        m = classifiers.AVClassifier(n_classes=6, fusion_method="sum")
+        _, out = _init_apply(m, self._av_batch())
+        assert out["out"].shape == (2, 6)
+
+    def test_m3ae_classifier(self):
+        m = classifiers.M3AEClassifier(n_classes=3, model_type="small")
+        batch = {"token": jnp.zeros((2, 1, 8), jnp.int32),
+                 "padding_mask": jnp.zeros((2, 1, 8)),
+                 "image": jnp.zeros((2, 3, 32, 32))}
+        v = m.init(jax.random.key(0), batch)
+        out = m.apply(v, batch)
+        assert out["out"].shape == (2, 3)
+        assert out["a"].shape == (2, 384)
+        # joint concat head: 2*384 wide
+        assert v["params"]["fusion_module"]["fc_out"]["kernel"].shape == (768, 3)
+
+    def test_clip_classifier(self):
+        m = classifiers.CLIPClassifier(n_classes=101)
+        batch = {"token_feat": jnp.zeros((2, 512)), "image_feat": jnp.zeros((2, 512))}
+        v = m.init(jax.random.key(0), batch)
+        out = m.apply(v, batch)
+        assert out["out"].shape == (2, 101)
+
+    def test_build_classifier_factory(self):
+        from mla_tpu.core.config import MLAConfig
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True).validate()
+        m = classifiers.build_classifier(cfg, dtype=jnp.float32)
+        assert isinstance(m, classifiers.AVClassifier) and m.gs_flag
+        cfg3 = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True).validate()
+        assert isinstance(classifiers.build_classifier(cfg3),
+                          classifiers.Modal3Classifier)
