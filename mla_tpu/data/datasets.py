@@ -1,0 +1,274 @@
+"""Dataset adapters: host IO + geometry sampling, device batch finishing.
+
+Mirrors the six reference Dataset classes (dataset/dataset.py:18-877) with a
+split design: ``sample_host(i, rng)`` does file IO and augmentation-geometry
+sampling on the host (numpy, deterministic per-epoch RNG); ``finish_batch``
+runs the fused device transform and returns the standardized batch dict the
+classifiers consume ({spec|fbank|token|padding_mask|image|*_feat, label, idx,
+valid}).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.data import transforms as T
+from mla_tpu.data.datalists import DataIndex, build_index
+from mla_tpu.data.masking import qmf_mask_set, random_mask
+from mla_tpu.ops import image as im
+
+
+def _frame_files(dir_path: str) -> List[str]:
+    # reference uses os.listdir order (FS-dependent); sorted for determinism
+    return sorted(os.listdir(dir_path))
+
+
+class AVAdapter:
+    """CREMA-D audio-visual, --lorb base (dataset.py:18-161).
+
+    Sample: log-STFT spectrogram .npy + 3 evenly-spaced frames; train-time
+    RandomResizedCrop(224)+HFlip per frame, eval Resize((224,224)); QMF
+    modality masking on a datalist suffix."""
+    spec_shape = (257, 626)   # shaped from the on-disk artifact at first load
+    out = 224
+
+    def __init__(self, cfg: MLAConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.index = build_index(cfg.dataset, cfg.data_root, mode,
+                                 required=("audio", "visual"))
+        self.mask_files = qmf_mask_set(self.index.names, cfg.mask_percent) \
+            if (cfg.modulation == "QMF" and mode == "train") else set()
+        self.canon = T.CANONICAL[self.out]
+
+    def __len__(self):
+        return len(self.index)
+
+    def sample_host(self, i: int, rng: np.random.Generator) -> Dict:
+        name = self.index.names[i]
+        spec = np.load(os.path.join(self.index.dir("audio"), name + ".npy"))
+        if name in self.mask_files and self.cfg.mask_m == "audio":
+            spec = spec * 0
+        vdir = os.path.join(self.index.dir("visual"), name)
+        files = _frame_files(vdir)
+        seg = int(len(files) / 3)
+        frames, boxes, flips = [], [], []
+        for k in range(3):
+            img, hw = T.host_decode(os.path.join(vdir, files[seg * k]),
+                                    self.canon)
+            frames.append(img)
+            if self.mode == "train":
+                box = im.random_resized_crop_params(rng, *hw)
+                flips.append(rng.random() < 0.5)
+            else:
+                box = (0.0, 0.0, float(hw[0]), float(hw[1]))
+                flips.append(False)
+            boxes.append(T.scale_box(box, hw, self.canon))
+        frames = np.stack(frames)
+        if name in self.mask_files and self.cfg.mask_m == "visual":
+            frames = frames * 0
+        return {"spec": spec.astype(np.float32),
+                "frames": frames,
+                "boxes": np.asarray(boxes, np.float32),
+                "flip": np.asarray(flips, bool),
+                "label": self.index.labels[i], "idx": i}
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        image = T.av_frames_transform(jnp.asarray(host["frames"]),
+                                      jnp.asarray(host["boxes"]),
+                                      jnp.asarray(host["flip"]), key,
+                                      out=self.out)
+        return {"spec": jnp.asarray(host["spec"])[:, None],  # (B,1,F,T)
+                "image": image,
+                "label": jnp.asarray(host["label"], jnp.int32),
+                "idx": jnp.asarray(host["idx"], jnp.int32),
+                "valid": jnp.asarray(host["valid"], jnp.float32)}
+
+
+class CAVAdapter:
+    """CREMA-D --lorb large (dataset.py:163-325): 1024x128 fbank (normalized,
+    optional SpecAug/noise under --cav_augnois) + middle frame
+    Resize-256?->224 bicubic center crop. NOTE the reference returns a 3-tuple
+    here and main.py:159 unpacks 4 — the shipped 'large' path crashes; this
+    adapter emits the standard dict so the path actually runs."""
+    out = 224
+
+    def __init__(self, cfg: MLAConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.index = build_index(cfg.dataset, cfg.data_root, mode,
+                                 required=("audio", "visual"))
+        self.canon = T.CANONICAL[self.out]
+
+    def __len__(self):
+        return len(self.index)
+
+    def sample_host(self, i: int, rng: np.random.Generator) -> Dict:
+        name = self.index.names[i]
+        fbank = np.load(os.path.join(self.index.dir("audio"), name + ".npy"))
+        vdir = os.path.join(self.index.dir("visual"), name)
+        files = _frame_files(vdir)
+        img, hw = T.host_decode(
+            os.path.join(vdir, files[int(len(files) / 2)]), self.canon)
+        box = T.scale_box(im.resize_center_crop_box(*hw, 224, 224), hw,
+                          self.canon)
+        return {"fbank": fbank.astype(np.float32), "image_u8": img,
+                "boxes": np.asarray(box, np.float32),
+                "label": self.index.labels[i], "idx": i}
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        image = T.image_batch_transform(
+            jnp.asarray(host["image_u8"]), jnp.asarray(host["boxes"]),
+            jnp.zeros(host["image_u8"].shape[0], bool), k1,
+            jnp.asarray(im.CAV_MEAN), jnp.asarray(im.CAV_STD),
+            out=self.out, method="cubic")
+        fbank = T.cav_fbank_transform(jnp.asarray(host["fbank"]), k2,
+                                      self.mode == "train",
+                                      self.cfg.cav_augnois)
+        return {"fbank": fbank, "image": image,
+                "label": jnp.asarray(host["label"], jnp.int32),
+                "idx": jnp.asarray(host["idx"], jnp.int32),
+                "valid": jnp.asarray(host["valid"], jnp.float32)}
+
+
+class M3AEAdapter:
+    """Food-101 / MVSA image-text (dataset.py:327-480): cached BERT tokens +
+    jpg; train = timm create_transform(256, color_jitter) (RRC bicubic + flip
+    + jitter), eval = Resize(256)+CenterCrop(256)."""
+    out = 256
+
+    def __init__(self, cfg: MLAConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.index = build_index(cfg.dataset, cfg.data_root, mode,
+                                 required=("text", "visual"))
+        self.canon = T.CANONICAL[self.out]
+
+    def __len__(self):
+        return len(self.index)
+
+    def _image_path(self, name):
+        return os.path.join(self.index.dir("visual"), name + ".jpg")
+
+    def sample_host(self, i: int, rng: np.random.Generator) -> Dict:
+        name = self.index.names[i]
+        tdir = self.index.dir("text")
+        token = np.load(os.path.join(tdir, name + "_token.npy")).reshape(-1)
+        pm = np.load(os.path.join(tdir, name + "_pm.npy")).reshape(-1)
+        img, hw = T.host_decode(self._image_path(name), self.canon)
+        if self.mode == "train":
+            box = im.random_resized_crop_params(rng, *hw)
+            flip = rng.random() < 0.5
+        else:
+            box = im.resize_center_crop_box(*hw, 256, 256)
+            flip = False
+        return {"token": token.astype(np.int32), "pm": pm.astype(np.float32),
+                "image_u8": img,
+                "boxes": np.asarray(T.scale_box(box, hw, self.canon),
+                                    np.float32),
+                "flip": flip, "label": self.index.labels[i], "idx": i}
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        image = T.image_batch_transform(
+            jnp.asarray(host["image_u8"]), jnp.asarray(host["boxes"]),
+            jnp.asarray(host["flip"]), key,
+            jnp.asarray(im.IMAGENET_MEAN), jnp.asarray(im.IMAGENET_STD),
+            out=self.out, method="cubic", jitter=self.mode == "train")
+        return {"token": jnp.asarray(host["token"], jnp.int32),
+                "padding_mask": jnp.asarray(host["pm"], jnp.float32),
+                "image": image,
+                "label": jnp.asarray(host["label"], jnp.int32),
+                "idx": jnp.asarray(host["idx"], jnp.int32),
+                "valid": jnp.asarray(host["valid"], jnp.float32)}
+
+
+class Modal3Adapter(M3AEAdapter):
+    """IEMOCAP 3-modality (dataset.py:642-803): tokens + mid face-crop frame +
+    1024x128 fbank (NOT normalized in the reference's Modal3 path), with the
+    CPM-Net missing-view mask multiplying each modality by 0/1."""
+
+    def __init__(self, cfg: MLAConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.index = build_index(cfg.dataset, cfg.data_root, mode,
+                                 required=("text", "visual", "audio"))
+        self.canon = T.CANONICAL[self.out]
+        self.maskmatrix = random_mask(
+            3, len(self.index), cfg.mask_percent,
+            np.random.default_rng(cfg.random_seed))
+
+    def _image_path(self, name):
+        vdir = os.path.join(self.index.dir("visual"), name)
+        files = _frame_files(vdir)
+        return os.path.join(vdir, files[int(len(files) / 2)])
+
+    def sample_host(self, i: int, rng: np.random.Generator) -> Dict:
+        out = super().sample_host(i, rng)
+        name = self.index.names[i]
+        fbank = np.load(os.path.join(self.index.dir("audio"), name + ".npy"))
+        keep = self.maskmatrix[i]
+        out["fbank"] = fbank.astype(np.float32) * keep[0]
+        out["image_u8"] = out["image_u8"] * keep[1]
+        out["token"] = out["token"] * keep[2]
+        out["pm"] = out["pm"] * keep[2]
+        return out
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        batch = super().finish_batch(host, key)
+        batch["fbank"] = jnp.asarray(host["fbank"])
+        return batch
+
+
+class CLIPAdapter:
+    """Precomputed 512-d CLIP features (dataset.py:806-877)."""
+
+    def __init__(self, cfg: MLAConfig, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.index = build_index(cfg.dataset, cfg.data_root, mode)
+        # CLIP layout (dataset.py:813-816): clip_feature/{text,image}/{mode}
+        self.tdir = os.path.join(cfg.data_root, "clip_feature/text", mode)
+        self.vdir = os.path.join(cfg.data_root, "clip_feature/image", mode)
+        keep = [k for k, n in enumerate(self.index.names)
+                if os.path.exists(os.path.join(self.tdir, n + ".npy"))
+                and os.path.exists(os.path.join(self.vdir, n + ".npy"))]
+        self.index.names = [self.index.names[k] for k in keep]
+        self.index.labels = [self.index.labels[k] for k in keep]
+
+    def __len__(self):
+        return len(self.index)
+
+    def sample_host(self, i: int, rng) -> Dict:
+        name = self.index.names[i]
+        return {"token_feat": np.load(os.path.join(
+                    self.tdir, name + ".npy")).reshape(-1).astype(np.float32),
+                "image_feat": np.load(os.path.join(
+                    self.vdir, name + ".npy")).reshape(-1).astype(np.float32),
+                "label": self.index.labels[i], "idx": i}
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        return {"token_feat": jnp.asarray(host["token_feat"]),
+                "image_feat": jnp.asarray(host["image_feat"]),
+                "label": jnp.asarray(host["label"], jnp.int32),
+                "idx": jnp.asarray(host["idx"], jnp.int32),
+                "valid": jnp.asarray(host["valid"], jnp.float32)}
+
+
+def build_adapter(cfg: MLAConfig, mode: str):
+    """Dataset selection mirroring main.py:762-810."""
+    if cfg.modal3 or cfg.dataset == "IEMOCAP":
+        return Modal3Adapter(cfg, mode)
+    if cfg.clip:
+        return CLIPAdapter(cfg, mode)
+    if cfg.lorb == "large":
+        return CAVAdapter(cfg, mode)
+    if cfg.lorb == "m3ae":
+        return M3AEAdapter(cfg, mode)
+    return AVAdapter(cfg, mode)

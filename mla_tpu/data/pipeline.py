@@ -1,0 +1,108 @@
+"""Host input pipeline: threaded sample loading, static-shape batches,
+device-put with batch sharding, double-buffered prefetch.
+
+Replaces the reference's 32-worker torch DataLoader (main.py:813-817).
+Batches are padded to a fixed batch_size (divisible by the data-mesh axis)
+with a ``valid`` mask so every step compiles once; the final device transform
+(crop/resize/normalize/SpecAug) runs fused on-device after the device_put.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from mla_tpu.parallel.mesh import batch_sharding
+
+
+def collate_pad(samples, batch_size: int, n_data: int) -> Dict[str, np.ndarray]:
+    """Stack sample dicts; pad to batch_size repeating the last sample, with
+    valid=0 and idx=n_data (the QMF scratch slot) for padded rows."""
+    n = len(samples)
+    keys = samples[0].keys()
+    out = {}
+    for k in keys:
+        arrs = [np.asarray(s[k]) for s in samples]
+        if n < batch_size:
+            arrs += [np.zeros_like(arrs[-1])] * (batch_size - n)
+        out[k] = np.stack(arrs)
+    out["valid"] = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(batch_size - n, np.float32)])
+    if "idx" in out:
+        out["idx"] = out["idx"].astype(np.int32)
+        out["idx"][n:] = n_data
+    return out
+
+
+class Loader:
+    """Iterates device-ready batch dicts for one adapter.
+
+    shuffle per epoch with a seed-derived numpy RNG (reference: DataLoader
+    shuffle=True train / False eval, main.py:813-817); drop_last=False."""
+
+    def __init__(self, adapter, batch_size: int, mesh=None, shuffle=True,
+                 seed: int = 0, num_workers: int = 8, prefetch: int = 2,
+                 transform_key=None):
+        self.adapter = adapter
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.key = transform_key if transform_key is not None else \
+            jax.random.key(seed)
+        self.n = len(adapter)
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        rngs = [np.random.default_rng((self.seed, epoch, int(i)))
+                for i in order]
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, self.n, self.batch_size):
+                chunk = order[start:start + self.batch_size]
+                samples = list(pool.map(
+                    lambda t: self.adapter.sample_host(int(t[0]), t[1]),
+                    zip(chunk, rngs[start:start + self.batch_size])))
+                yield collate_pad(samples, self.batch_size, self.n)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        """Device-ready batches with background prefetch."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def producer():
+            try:
+                for hb in self._host_batches(epoch):
+                    q.put(hb)
+            except Exception as e:   # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        step = 0
+        while True:
+            hb = q.get()
+            if hb is sentinel:
+                if err:
+                    raise err[0]
+                return
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
+            key = jax.random.fold_in(self.key, epoch * 100003 + step)
+            yield self.adapter.finish_batch(hb, key)
+            step += 1

@@ -1,0 +1,73 @@
+"""On-device per-class accuracy + the jitted eval step.
+
+Replaces the reference's per-sample numpy/argmax D2H loop (main.py:659-676 —
+a CPU sync per sample) with one segment-sum per batch on device; the driver
+only pulls (n_classes,) count vectors per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from mla_tpu.evals.fusion_eval import fuse_outputs
+from mla_tpu.models.classifiers import modalities_of
+from mla_tpu.train.steps import _energy_conf, sliced_modality_logits
+
+
+def per_class_counts(logits, label, valid, n_classes):
+    pred = jnp.argmax(logits.astype(jnp.float32), axis=1)
+    correct = (pred == label).astype(jnp.float32) * valid
+    return jax.ops.segment_sum(correct, label, num_segments=n_classes)
+
+
+def make_eval_step(model, cfg):
+    """Returns step(params, batch_stats, batch) -> dict of (n_classes,) counts
+    {'num','acc','acc_a','acc_v'[,'acc_t']} to be accumulated by the driver
+    (valid() semantics, main.py:486-679)."""
+    modalities = modalities_of(cfg)
+    n_classes = cfg.n_classes
+
+    def step(params, batch_stats, batch):
+        valid, label = batch["valid"], batch["label"]
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch, train=False)
+
+        if cfg.gs_flag:
+            out_m = {m: out[f"out_{m}"] for m in modalities}
+            fused = fuse_outputs(out_m, valid, cfg)
+        elif cfg.modulation == "QMF":
+            out_m = {m: out[m] for m in modalities}
+            fused = sum(out_m[m] * _energy_conf(out_m[m])[:, None]
+                        for m in modalities)
+        else:
+            feats = {m: out[m] for m in modalities}
+            fused = out["out"]
+            out_m = sliced_modality_logits(
+                feats, params["fusion_module"], cfg.fusion_method, cfg.modal3,
+                bias_div=True)
+
+        counts = {
+            "num": jax.ops.segment_sum(valid, label, num_segments=n_classes),
+            "acc": per_class_counts(fused, label, valid, n_classes),
+        }
+        for m in modalities:
+            counts[f"acc_{m}"] = per_class_counts(out_m[m], label, valid,
+                                                  n_classes)
+        return counts
+
+    return step
+
+
+def summarize_counts(totals: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+    """sum(acc)/sum(num) per head (main.py:677-679)."""
+    num = float(jnp.sum(totals["num"]))
+    out = {}
+    for k, v in totals.items():
+        if k != "num":
+            out[k] = float(jnp.sum(v)) / max(num, 1.0)
+    return out

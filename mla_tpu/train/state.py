@@ -1,0 +1,75 @@
+"""Train state pytree: params + BN stats + optimizer state + GS projector +
+QMF history + PRNG, checkpointable as one Orbax tree (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from mla_tpu.train.gs import GSState, init_gs_state
+from mla_tpu.train.optim import OptimizerSpec, init_opt_state
+
+
+@flax.struct.dataclass
+class QMFState:
+    """Per-sample cumulative-loss + confidence stores, one per modality
+    (reference: utils/utils.py:44-95 History; numpy -> device arrays here).
+    Slot n_data is a scratch slot for padded batch rows."""
+    correctness: Dict[str, jnp.ndarray]
+    confidence: Dict[str, jnp.ndarray]
+
+
+def init_qmf_state(n_data: int, modalities) -> QMFState:
+    z = {m: jnp.zeros((n_data + 1,), jnp.float32) for m in modalities}
+    return QMFState(correctness=z,
+                    confidence={m: jnp.zeros((n_data + 1,), jnp.float32)
+                                for m in modalities})
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    gs: Optional[GSState]
+    qmf: Optional[QMFState]
+    rng: jax.Array
+    step: jnp.ndarray  # () int32
+
+
+def create_train_state(model, cfg, sample_batch, spec: OptimizerSpec,
+                       n_data: int = 0, seed: int = 0) -> TrainState:
+    """Init params (same init laws as the reference — see models/) + state."""
+    variables = model.init(jax.random.key(seed), sample_batch, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    gs = init_gs_state(cfg.feature_dim) if cfg.gs_flag else None
+    qmf = None
+    if cfg.modulation == "QMF":
+        from mla_tpu.models.classifiers import modalities_of
+        qmf = init_qmf_state(n_data, modalities_of(cfg))
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=init_opt_state(spec, params),
+                      gs=gs, qmf=qmf,
+                      rng=jax.random.key(seed),
+                      step=jnp.zeros((), jnp.int32))
+
+
+# Top-level param collection -> modality label ('a'/'v'/'t'/'head'/'other').
+# Mirrors the reference's name-substring matching: 'audio'/'visual'
+# (main.py:396-407) and 'mae_a'/'mae_v'/'mae_t' (main.py:348-368).
+TOP_LEVEL_LABELS = {
+    "audio_net": "a", "visual_net": "v",
+    "mae_a": "a", "mae_v": "v", "mae_t": "t",
+    "fusion_module": "head",
+    "audio_fc": "a", "visual_fc": "v", "txtual_fc": "t",
+}
+
+
+def modality_of_path(path) -> str:
+    if not path:
+        return "other"
+    return TOP_LEVEL_LABELS.get(path[0], "other")
