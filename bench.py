@@ -71,15 +71,18 @@ def bench_tpu(steps=20):
     key = jax.random.key(0)
     lr = jnp.float32(1e-3)
     spec_dev = jnp.asarray(spec_np)
-    # warmup / compile
+    # warmup / compile (float() forces a host read — block_until_ready alone
+    # is not a reliable sync on the axon relay platform)
     state, m = full_step(state, frames_u8, boxes, flips, spec_dev, label, key,
                          lr, jnp.int32(0))
-    jax.block_until_ready(m)
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = full_step(state, frames_u8, boxes, flips, spec_dev, label,
                              key, lr, jnp.int32(i))
-    jax.block_until_ready(m)
+    # the final loss depends on the whole donated-state chain: reading it
+    # forces every step to have executed
+    _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / steps
     return BATCH / dt, dt
 

@@ -193,7 +193,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cav_lrs", action="store_true")
     p.add_argument("--cav_augnois", action="store_true")
     p.add_argument("--modal3", action="store_true")
-    p.add_argument("--dynamic", action="store_true")
+    # README.md:66,76,81 writes `-dynamic` (single dash); accept both
+    p.add_argument("--dynamic", "-dynamic", action="store_true")
     p.add_argument("--a_alpha", default=d.a_alpha, type=float)
     p.add_argument("--v_alpha", default=d.v_alpha, type=float)
     p.add_argument("--t_alpha", default=d.t_alpha, type=float)

@@ -1,0 +1,200 @@
+"""Offline ETL CLI — the reference's 11 data/ scripts as one tool.
+
+Subcommands mirror data/*.py (SURVEY.md §2.3); audio transforms run the SAME
+jitted kernels used on-device (mla_tpu/ops), so cached artifacts and on-the-fly
+preprocessing are bit-identical.
+
+  mp4-to-wav        ffmpeg mp4 -> 16 kHz pcm_s16le wav (mp4_to_wav.py:17)
+  extract-spec      wav -> tile>=10 s, random 5 s crop, clip, log-STFT
+                    n_fft 256 hop 128 .npy (extract_spec.py:13-22)
+  extract-fbank     wav -> Kaldi fbank 128-mel padded to 1024 frames .npy
+                    (extract_fbank.py:35-52), optional waveform mixup
+  video-frames      mp4 -> jpg per frame at --fps (video_preprocessing.py)
+  extract-token     BERT-base-uncased tokens, max_len 256, no special tokens;
+                    saves *_token.npy + *_pm.npy = 1-attention_mask
+                    (extract_token.py:38-50)
+  gen-stat          class list from datalists (gen_stat.py)
+  gen-txt           random split datalists (gen_*_txt.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import subprocess
+import sys
+from os.path import join
+
+import numpy as np
+
+
+def _wavread(path):
+    from scipy.io import wavfile
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return sr, data
+
+
+def cmd_mp4_to_wav(args):
+    os.makedirs(args.out_dir, exist_ok=True)
+    for f in sorted(os.listdir(args.in_dir)):
+        if not f.endswith((".mp4", ".flv")):
+            continue
+        out = join(args.out_dir, os.path.splitext(f)[0] + ".wav")
+        subprocess.run(["ffmpeg", "-y", "-i", join(args.in_dir, f),
+                        "-acodec", "pcm_s16le", "-ar", "16000", "-ac", "1",
+                        out], check=True, capture_output=True)
+
+
+def cmd_extract_spec(args):
+    from mla_tpu.ops.stft import log_stft
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = random.Random(args.seed)
+    for f in sorted(os.listdir(args.in_dir)):
+        if not f.endswith(".wav"):
+            continue
+        rate, sample = _wavread(join(args.in_dir, f))
+        while len(sample) / rate < 10.0:
+            sample = np.tile(sample, 2)
+        start = rng.randint(0, rate * 5)
+        new = np.clip(sample[start:start + rate * 5], -1.0, 1.0)
+        spec = np.asarray(log_stft(new, n_fft=256, hop_length=128))
+        np.save(join(args.out_dir, f.replace(".wav", ".npy")), spec)
+
+
+def cmd_extract_fbank(args):
+    from mla_tpu.ops.fbank import wav2fbank
+    os.makedirs(args.out_dir, exist_ok=True)
+    for f in sorted(os.listdir(args.in_dir)):
+        if not f.endswith(".wav"):
+            continue
+        try:
+            _, wave = _wavread(join(args.in_dir, f))
+            fb = np.asarray(wav2fbank(wave, target_length=args.target_length))
+        except Exception as e:   # extract_fbank.py:38-40 fallback
+            print(f"there is a loading error ({f}: {e})")
+            fb = np.zeros((512, 128), np.float32) + 0.01
+        np.save(join(args.out_dir, f.replace(".wav", ".npy")), fb)
+
+
+def cmd_video_frames(args):
+    import cv2
+    os.makedirs(args.out_dir, exist_ok=True)
+    for f in sorted(os.listdir(args.in_dir)):
+        if not f.endswith((".mp4", ".flv", ".avi")):
+            continue
+        name = os.path.splitext(f)[0]
+        vdir = join(args.out_dir, name)
+        os.makedirs(vdir, exist_ok=True)
+        cap = cv2.VideoCapture(join(args.in_dir, f))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30
+        keep_every = max(1, int(round(fps / args.fps)))
+        i = saved = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i % keep_every == 0:
+                cv2.imwrite(join(vdir, f"{saved:05d}.jpg"), frame)
+                saved += 1
+            i += 1
+        cap.release()
+        if saved == 0:
+            print(f"Fail @ {f}")
+
+
+def cmd_extract_token(args):
+    from transformers import BertTokenizer
+    tok = BertTokenizer.from_pretrained(args.tokenizer)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(args.text_file) as f:
+        for line in f:
+            name, _, text = line.rstrip("\n").partition("\t")
+            enc = tok(text, max_length=args.max_length, truncation=True,
+                      padding="max_length", add_special_tokens=False,
+                      return_tensors="np")
+            np.save(join(args.out_dir, name + "_token.npy"),
+                    enc["input_ids"].astype(np.int64))
+            np.save(join(args.out_dir, name + "_pm.npy"),
+                    (1 - enc["attention_mask"]).astype(np.float32))
+
+
+def cmd_gen_stat(args):
+    labels = set()
+    for lst in args.lists:
+        with open(lst) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    labels.add(line.split(args.sep)[-1])
+    with open(args.out, "w") as f:
+        f.write("\n".join(sorted(labels)) + "\n")
+
+
+def cmd_gen_txt(args):
+    rng = random.Random(args.seed)
+    with open(args.all_list) as f:
+        lines = [ln for ln in f if ln.strip()]
+    rng.shuffle(lines)
+    n_test = int(len(lines) * args.test_frac)
+    with open(args.out_prefix + "_test.txt", "w") as f:
+        f.writelines(lines[:n_test])
+    with open(args.out_prefix + "_train.txt", "w") as f:
+        f.writelines(lines[n_test:])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mla-tpu-etl", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("mp4-to-wav")
+    s.add_argument("in_dir"); s.add_argument("out_dir")
+    s.set_defaults(fn=cmd_mp4_to_wav)
+
+    s = sub.add_parser("extract-spec")
+    s.add_argument("in_dir"); s.add_argument("out_dir")
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_extract_spec)
+
+    s = sub.add_parser("extract-fbank")
+    s.add_argument("in_dir"); s.add_argument("out_dir")
+    s.add_argument("--target_length", type=int, default=1024)
+    s.set_defaults(fn=cmd_extract_fbank)
+
+    s = sub.add_parser("video-frames")
+    s.add_argument("in_dir"); s.add_argument("out_dir")
+    s.add_argument("--fps", type=float, default=1.0)
+    s.set_defaults(fn=cmd_video_frames)
+
+    s = sub.add_parser("extract-token")
+    s.add_argument("text_file", help="TSV: name<TAB>text per line")
+    s.add_argument("out_dir")
+    s.add_argument("--max_length", type=int, default=256)
+    s.add_argument("--tokenizer", default="bert-base-uncased")
+    s.set_defaults(fn=cmd_extract_token)
+
+    s = sub.add_parser("gen-stat")
+    s.add_argument("lists", nargs="+"); s.add_argument("--out", required=True)
+    s.add_argument("--sep", default=" ")
+    s.set_defaults(fn=cmd_gen_stat)
+
+    s = sub.add_parser("gen-txt")
+    s.add_argument("all_list"); s.add_argument("out_prefix")
+    s.add_argument("--test_frac", type=float, default=0.1)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_gen_txt)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,11 @@ class Loader:
                  seed: int = 0, num_workers: int = 8, prefetch: int = 2,
                  transform_key=None):
         self.adapter = adapter
+        if mesh is not None:
+            # static batch must shard evenly over the data axis
+            n_data_axis = mesh.shape.get("data", 1)
+            batch_size = ((batch_size + n_data_axis - 1) // n_data_axis
+                          ) * n_data_axis
         self.batch_size = batch_size
         self.mesh = mesh
         self.shuffle = shuffle

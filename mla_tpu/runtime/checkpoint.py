@@ -1,0 +1,102 @@
+"""Checkpoint / resume / weight averaging.
+
+Reference behavior replicated (main.py:682-694, 721-728, 900-953): best-acc
+checkpoint with metadata, warm-start load that drops the shared-head weights,
+eval-only load, offline weight averaging. Added beyond the reference
+(SURVEY.md §5.4): full mid-run resume — the checkpoint holds the complete
+TrainState pytree (params, BN stats, optimizer buffers, GS projector Pl +
+exp_count, QMF history, PRNG key, step) via Orbax.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mla_tpu.train.state import TrainState
+
+
+def _to_saveable(state: TrainState) -> Dict[str, Any]:
+    tree = jax.tree_util.tree_map(np.asarray, state, is_leaf=lambda x: False)
+    # typed PRNG keys are not serializable; store raw key data
+    d = {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state,
+         "rng": jax.random.key_data(state.rng),
+         "step": state.step}
+    if state.gs is not None:
+        d["gs"] = {"Pl": state.gs.Pl, "exp_count": state.gs.exp_count}
+    if state.qmf is not None:
+        d["qmf"] = {"correctness": state.qmf.correctness,
+                    "confidence": state.qmf.confidence}
+    return jax.tree_util.tree_map(np.asarray, d)
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, meta: Dict[str, Any],
+                    name: str = "best") -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, _to_saveable(state), force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore into an existing (template) TrainState."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(path)
+    new = state.replace(
+        params=raw["params"], batch_stats=raw["batch_stats"],
+        opt_state=raw["opt_state"],
+        rng=jax.random.wrap_key_data(jnp.asarray(raw["rng"])),
+        step=jnp.asarray(raw["step"]))
+    if state.gs is not None and "gs" in raw:
+        new = new.replace(gs=state.gs.replace(
+            Pl=jnp.asarray(raw["gs"]["Pl"]),
+            exp_count=jnp.asarray(raw["gs"]["exp_count"])))
+    if state.qmf is not None and "qmf" in raw:
+        new = new.replace(qmf=state.qmf.replace(
+            correctness={k: jnp.asarray(v)
+                         for k, v in raw["qmf"]["correctness"].items()},
+            confidence={k: jnp.asarray(v)
+                        for k, v in raw["qmf"]["confidence"].items()}))
+    return new
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    with open(os.path.abspath(path) + ".meta.json") as f:
+        return json.load(f)
+
+
+def warm_start_params(path: str, params):
+    """Load params but drop the shared head, as the reference warm-start does
+    (main.py:721-728 deletes fusion_module.fc_out.*)."""
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    loaded = raw["params"]
+    merged = jax.tree_util.tree_map(lambda x: x, params)
+    for top, sub in loaded.items():
+        if top == "fusion_module":
+            continue
+        if top in merged:
+            merged[top] = jax.tree_util.tree_map(jnp.asarray, sub)
+    return merged
+
+
+def wa_params(ckpt_dir: str):
+    """Average params over every checkpoint in a directory (main.py:682-694)."""
+    names = [n for n in sorted(os.listdir(ckpt_dir))
+             if os.path.isdir(os.path.join(ckpt_dir, n))]
+    assert names, f"no checkpoints in {ckpt_dir}"
+    ckptr = ocp.PyTreeCheckpointer()
+    acc = None
+    for n in names:
+        p = ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, n)))["params"]
+        acc = p if acc is None else jax.tree_util.tree_map(jnp.add, acc, p)
+    return jax.tree_util.tree_map(lambda x: x / float(len(names)), acc)

@@ -1,0 +1,161 @@
+"""Epoch orchestration: the main() / train_epoch() / valid() driver.
+
+Reference: main.py:697-968. Same control flow (seed -> model -> optional
+warm-start -> loaders -> epoch loop -> best-ckpt on val accuracy -> eval-only
+branch), with TPU-native machinery: a (data, model) device mesh, one jitted
+train step per regime with donated state, jitted eval accumulating on-device
+per-class counts, jax.profiler-annotated steps, TensorBoard scalars under the
+reference's names (Loss/Evaluation, main.py:865-893).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.data.datasets import build_adapter
+from mla_tpu.data.pipeline import Loader
+from mla_tpu.evals.metrics import make_eval_step, summarize_counts
+from mla_tpu.models.classifiers import build_classifier, modalities_of
+from mla_tpu.parallel.mesh import make_mesh, replicate
+from mla_tpu.runtime import checkpoint as ckpt_lib
+from mla_tpu.train import optim, steps as steps_lib
+from mla_tpu.train.state import create_train_state
+
+
+def _writer(cfg: MLAConfig):
+    if not cfg.use_tensorboard:
+        return None
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        return None
+    tag = "GS" if cfg.gs_flag else cfg.modulation
+    log_name = "{}_{}_{}".format(
+        cfg.fusion_method, tag,
+        datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+    path = os.path.join(cfg.tensorboard_path, cfg.dataset, log_name)
+    os.makedirs(path, exist_ok=True)
+    return SummaryWriter(path)
+
+
+def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
+    totals = None
+    for batch in loader.epoch(0):
+        counts = eval_step(state.params, state.batch_stats, batch)
+        totals = counts if totals is None else \
+            jax.tree_util.tree_map(jnp.add, totals, counts)
+    return summarize_counts(totals) if totals is not None else {}
+
+
+def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
+    """Train (cfg.train) or evaluate a checkpoint (not cfg.train)."""
+    np.random.seed(cfg.random_seed)          # setup_seed (utils.py:98-103);
+    # JAX randomness is explicit PRNG-key threading — deterministic by design.
+
+    mesh = make_mesh()
+    model = build_classifier(cfg)
+    train_adapter = build_adapter(cfg, "train")
+    test_adapter = build_adapter(cfg, "test")
+    train_loader = Loader(train_adapter, cfg.batch_size, mesh=mesh,
+                          shuffle=True, seed=cfg.random_seed,
+                          num_workers=cfg.num_workers)
+    test_loader = Loader(test_adapter, cfg.batch_size, mesh=mesh,
+                         shuffle=False, seed=cfg.random_seed,
+                         num_workers=cfg.num_workers)
+
+    sample = next(train_loader.epoch(0))
+    spec = optim.make_spec(cfg)
+    state = create_train_state(model, cfg, sample, spec,
+                               n_data=len(train_adapter),
+                               seed=cfg.random_seed)
+    if cfg.ckpt_load_path_train:
+        state = state.replace(params=ckpt_lib.warm_start_params(
+            cfg.ckpt_load_path_train, state.params))
+        print("Trained model loaded!")
+    state = replicate(mesh, state)
+
+    len_dl = len(train_loader)
+    train_step = jax.jit(
+        steps_lib.make_train_step(model, cfg, spec, len_dl),
+        donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    if not cfg.train:
+        # eval-only: cfg.ckpt_path is the checkpoint to load (main.py:946-953)
+        state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
+        accs = evaluate(cfg, model, state, test_loader, eval_step)
+        print("Accuracy:", accs)
+        return state, accs
+
+    writer = _writer(cfg)
+    best_acc = 0.0
+    history = []
+    for epoch in range(cfg.epochs):
+        print(f"Epoch: {epoch}: ")
+        lr = jnp.float32(optim.lr_for_epoch(cfg, epoch))
+        t0 = time.time()
+        msum = None  # device-side accumulation: no per-step host sync
+        n_batches = 0
+        with jax.profiler.StepTraceAnnotation("train_epoch", epoch=epoch):
+            for bi, batch in enumerate(train_loader.epoch(epoch)):
+                if max_steps_per_epoch and bi >= max_steps_per_epoch:
+                    break
+                state, metrics = train_step(state, batch, lr,
+                                            jnp.int32(bi), jnp.int32(epoch))
+                msum = metrics if msum is None else \
+                    jax.tree_util.tree_map(jnp.add, msum, metrics)
+                n_batches += 1
+                if (bi + 1) % cfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"  step {bi + 1}/{len_dl} "
+                          + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        # epoch means, as train_epoch returns _loss/len(dataloader)
+        # (main.py:482-484)
+        epoch_metrics = {k: float(v) / max(n_batches, 1)
+                         for k, v in msum.items()}
+        accs = evaluate(cfg, model, state, test_loader, eval_step)
+        dt = time.time() - t0
+        acc = accs.get("acc", 0.0)
+        history.append({"epoch": epoch, "acc": acc, **epoch_metrics,
+                        "wall_s": dt})
+        if writer is not None:
+            loss_scalars = {"Total Loss": epoch_metrics.get("loss", 0.0),
+                            "Audio Loss": epoch_metrics.get("loss_a", 0.0),
+                            "Visual Loss": epoch_metrics.get("loss_v", 0.0)}
+            eval_scalars = {"Total Accuracy": acc,
+                            "Audio Accuracy": accs.get("acc_a", 0.0),
+                            "Visual Accuracy": accs.get("acc_v", 0.0)}
+            if cfg.modal3:
+                loss_scalars["Text Loss"] = epoch_metrics.get("loss_t", 0.0)
+                eval_scalars["Text Accuracy"] = accs.get("acc_t", 0.0)
+            writer.add_scalars("Loss", loss_scalars, epoch)
+            writer.add_scalars("Evaluation", eval_scalars, epoch)
+
+        if acc > best_acc:
+            best_acc = acc
+            name = ("best_model_of_dataset_{}_{}_alpha_{}_optimizer_{}_"
+                    "modulate_starts_{}_ends_{}_epoch_{}_acc_{}").format(
+                cfg.dataset, cfg.modulation, cfg.alpha, cfg.optimizer,
+                cfg.modulation_starts, cfg.modulation_ends, epoch, acc)
+            path = ckpt_lib.save_checkpoint(
+                cfg.ckpt_path, state,
+                {"saved_epoch": epoch, "modulation": cfg.modulation,
+                 "alpha": cfg.alpha, "fusion": cfg.fusion_method, "acc": acc},
+                name=name)
+            print(f"The best model has been saved at {path}.")
+            print("Loss: {:.3f}, Acc: {:.3f}".format(
+                epoch_metrics.get("loss", 0.0), acc))
+        else:
+            print("Loss: {:.3f}, Acc: {:.3f}, Best Acc: {:.3f}".format(
+                epoch_metrics.get("loss", 0.0), acc, best_acc))
+        print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(
+            accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
+    return state, {"best_acc": best_acc, "history": history}

@@ -110,7 +110,8 @@ def _apply_encode_head(model, params, batch_stats, batch, modality):
 def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
     modalities = modalities_of(cfg)
 
-    def step(state: TrainState, batch, lr, batch_index):
+    def step(state: TrainState, batch, lr, batch_index, epoch=0):
+        del epoch
         params, bs, opt, gs = (state.params, state.batch_stats,
                                state.opt_state, state.gs)
         valid = batch["valid"]
@@ -199,7 +200,8 @@ def make_joint_train_step(model, cfg, spec: optim.OptimizerSpec):
     use_ogm = cfg.modulation in ("OGM", "OGM_GE")
     use_ge = cfg.modulation == "OGM_GE"
 
-    def step(state: TrainState, batch, lr, epoch):
+    def step(state: TrainState, batch, lr, batch_index, epoch=0):
+        del batch_index
         valid, label = batch["valid"], batch["label"]
         bs = state.batch_stats
 
@@ -279,7 +281,8 @@ def make_qmf_train_step(model, cfg, spec: optim.OptimizerSpec):
     # (main.py:203-207, 230-235)
     base_path = cfg.lorb == "base"
 
-    def step(state: TrainState, batch, lr, epoch):
+    def step(state: TrainState, batch, lr, batch_index, epoch=0):
+        del batch_index
         valid, label, idx = batch["valid"], batch["label"], batch["idx"]
         n_valid = jnp.sum(valid)
         qmf = state.qmf

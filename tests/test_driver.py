@@ -1,0 +1,105 @@
+"""Integration: full driver run (train -> eval -> best ckpt -> resume) on a
+synthetic CREMA-D fixture tree, 8-device CPU mesh (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def tiny_cremad(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cre"))
+    # small spectrograms keep the CPU ResNet cheap
+    synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
+    return root
+
+
+class TestDriver:
+    def test_train_eval_checkpoint_resume(self, tiny_cremad, tmp_path):
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        from mla_tpu.runtime.driver import run
+
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        train=True, epochs=2, batch_size=4,
+                        data_root=tiny_cremad, ckpt_path=str(tmp_path / "ck"),
+                        use_tensorboard=False, num_workers=2,
+                        log_every=1).validate()
+        state, result = run(cfg, max_steps_per_epoch=1)
+        assert result["best_acc"] >= 0.0
+        assert len(result["history"]) == 2
+        ckpts = os.listdir(cfg.ckpt_path)
+        assert any(n.startswith("best_model_of_dataset_CREMAD") for n in ckpts)
+
+        # resume roundtrip preserves every state leaf
+        best = [n for n in ckpts if not n.endswith(".json")][0]
+        path = os.path.join(cfg.ckpt_path, best)
+        restored = ckpt_lib.restore_checkpoint(path, state)
+        assert int(restored.step) > 0
+        meta = ckpt_lib.load_meta(path)
+        assert meta["modulation"] == "Normal" and "acc" in meta
+
+    def test_eval_only_branch(self, tiny_cremad, tmp_path):
+        from mla_tpu.runtime.driver import run
+
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        train=True, epochs=1, batch_size=4,
+                        data_root=tiny_cremad,
+                        ckpt_path=str(tmp_path / "ck2"),
+                        use_tensorboard=False, num_workers=2).validate()
+        _, result = run(cfg, max_steps_per_epoch=1)
+        ckpts = [n for n in os.listdir(cfg.ckpt_path)
+                 if not n.endswith(".json")]
+        eval_cfg = cfg.replace(
+            train=False, ckpt_path=os.path.join(cfg.ckpt_path, ckpts[0]))
+        _, accs = run(eval_cfg)
+        assert 0.0 <= accs["acc"] <= 1.0
+        assert abs(accs["acc"] - result["best_acc"]) < 1e-6
+
+
+class TestCheckpointUtils:
+    def test_warm_start_drops_head(self, tiny_cremad, tmp_path):
+        from mla_tpu.models.classifiers import AVClassifier
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        from mla_tpu.train import optim
+        from mla_tpu.train.state import create_train_state
+
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        train=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        batch = {"spec": jnp.asarray(rng.standard_normal((2, 1, 64, 80)),
+                                     jnp.float32),
+                 "image": jnp.asarray(
+                     rng.standard_normal((2, 3, 3, 32, 32)), jnp.float32),
+                 "label": jnp.zeros((2,), jnp.int32)}
+        spec = optim.make_spec(cfg)
+        s1 = create_train_state(model, cfg, batch, spec, seed=1)
+        path = ckpt_lib.save_checkpoint(str(tmp_path), s1, {"acc": 0.5}, "a")
+        s2 = create_train_state(model, cfg, batch, spec, seed=2)
+        merged = ckpt_lib.warm_start_params(path, s2.params)
+        # encoders come from the checkpoint, head stays fresh (seed 2)
+        np.testing.assert_allclose(
+            np.asarray(merged["audio_net"]["conv1"]["kernel"]),
+            np.asarray(s1.params["audio_net"]["conv1"]["kernel"]))
+        np.testing.assert_allclose(
+            np.asarray(merged["fusion_module"]["fc_out"]["kernel"]),
+            np.asarray(s2.params["fusion_module"]["fc_out"]["kernel"]))
+
+    def test_wa_params(self, tmp_path):
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        from mla_tpu.train.state import TrainState
+
+        for i, val in enumerate([1.0, 3.0]):
+            st = TrainState(params={"w": jnp.full((2,), val)}, batch_stats={},
+                            opt_state={"momentum": {"w": jnp.zeros(2)}},
+                            gs=None, qmf=None, rng=jax.random.key(0),
+                            step=jnp.int32(0))
+            ckpt_lib.save_checkpoint(str(tmp_path), st, {}, f"c{i}")
+        avg = ckpt_lib.wa_params(str(tmp_path))
+        np.testing.assert_allclose(np.asarray(avg["w"]), 2.0)
