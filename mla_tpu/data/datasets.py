@@ -41,6 +41,7 @@ class AVAdapter:
     def __init__(self, cfg: MLAConfig, mode: str):
         self.cfg = cfg
         self.mode = mode
+        self.out = cfg.image_size or type(self).out
         self.index = build_index(cfg.dataset, cfg.data_root, mode,
                                  required=("audio", "visual"))
         self.mask_files = qmf_mask_set(self.index.names, cfg.mask_percent) \
@@ -79,6 +80,55 @@ class AVAdapter:
                 "flip": np.asarray(flips, bool),
                 "label": self.index.labels[i], "idx": i}
 
+    def batch_host(self, indices, rngs) -> Dict:
+        """Native batch path: C++ thread-pool npy reads + JPEG decode
+        (mla_tpu/data/native_loader.py); geometry sampled in numpy with the
+        same per-sample RNG stream as sample_host."""
+        from mla_tpu.data import native_loader as nl
+        if not nl.available():
+            samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
+            return {k: np.stack([np.asarray(s[k]) for s in samples])
+                    for k in samples[0]}
+        if not hasattr(self, "_spec_shape"):
+            probe = np.load(os.path.join(self.index.dir("audio"),
+                                         self.index.names[indices[0]] + ".npy"))
+            self._spec_shape = probe.shape
+        names = [self.index.names[i] for i in indices]
+        spec = nl.load_npy_batch(
+            [os.path.join(self.index.dir("audio"), n + ".npy") for n in names],
+            self._spec_shape)
+        frame_paths = []
+        for n in names:
+            vdir = os.path.join(self.index.dir("visual"), n)
+            files = _frame_files(vdir)
+            seg = int(len(files) / 3)
+            frame_paths += [os.path.join(vdir, files[seg * k])
+                            for k in range(3)]
+        flat, hw = nl.decode_jpeg_batch(frame_paths, (self.canon, self.canon))
+        b = len(names)
+        frames = flat.reshape(b, 3, self.canon, self.canon, 3)
+        boxes = np.zeros((b, 3, 4), np.float32)
+        flips = np.zeros((b, 3), bool)
+        for i, (n, rng) in enumerate(zip(names, rngs)):
+            for k in range(3):
+                oh, ow = int(hw[i * 3 + k, 0]), int(hw[i * 3 + k, 1])
+                oh, ow = max(oh, 1), max(ow, 1)
+                if self.mode == "train":
+                    box = im.random_resized_crop_params(rng, oh, ow)
+                    flips[i, k] = rng.random() < 0.5
+                else:
+                    box = (0.0, 0.0, float(oh), float(ow))
+                boxes[i, k] = T.scale_box(box, (oh, ow), self.canon)
+            if n in self.mask_files:
+                if self.cfg.mask_m == "audio":
+                    spec[i] = 0
+                elif self.cfg.mask_m == "visual":
+                    frames[i] = 0
+        return {"spec": spec.astype(np.float32), "frames": frames,
+                "boxes": boxes, "flip": flips,
+                "label": np.asarray([self.index.labels[i] for i in indices]),
+                "idx": np.asarray(indices)}
+
     def finish_batch(self, host: Dict, key) -> Dict:
         image = T.av_frames_transform(jnp.asarray(host["frames"]),
                                       jnp.asarray(host["boxes"]),
@@ -102,6 +152,7 @@ class CAVAdapter:
     def __init__(self, cfg: MLAConfig, mode: str):
         self.cfg = cfg
         self.mode = mode
+        self.out = cfg.image_size or type(self).out
         self.index = build_index(cfg.dataset, cfg.data_root, mode,
                                  required=("audio", "visual"))
         self.canon = T.CANONICAL[self.out]
@@ -116,7 +167,7 @@ class CAVAdapter:
         files = _frame_files(vdir)
         img, hw = T.host_decode(
             os.path.join(vdir, files[int(len(files) / 2)]), self.canon)
-        box = T.scale_box(im.resize_center_crop_box(*hw, 224, 224), hw,
+        box = T.scale_box(im.resize_center_crop_box(*hw, self.out, self.out), hw,
                           self.canon)
         return {"fbank": fbank.astype(np.float32), "image_u8": img,
                 "boxes": np.asarray(box, np.float32),
@@ -147,6 +198,7 @@ class M3AEAdapter:
     def __init__(self, cfg: MLAConfig, mode: str):
         self.cfg = cfg
         self.mode = mode
+        self.out = cfg.image_size or type(self).out
         self.index = build_index(cfg.dataset, cfg.data_root, mode,
                                  required=("text", "visual"))
         self.canon = T.CANONICAL[self.out]
@@ -167,7 +219,7 @@ class M3AEAdapter:
             box = im.random_resized_crop_params(rng, *hw)
             flip = rng.random() < 0.5
         else:
-            box = im.resize_center_crop_box(*hw, 256, 256)
+            box = im.resize_center_crop_box(*hw, self.out, self.out)
             flip = False
         return {"token": token.astype(np.int32), "pm": pm.astype(np.float32),
                 "image_u8": img,
@@ -197,6 +249,7 @@ class Modal3Adapter(M3AEAdapter):
     def __init__(self, cfg: MLAConfig, mode: str):
         self.cfg = cfg
         self.mode = mode
+        self.out = cfg.image_size or type(self).out
         self.index = build_index(cfg.dataset, cfg.data_root, mode,
                                  required=("text", "visual", "audio"))
         self.canon = T.CANONICAL[self.out]

@@ -73,12 +73,32 @@ class Loader:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
         rngs = [np.random.default_rng((self.seed, epoch, int(i)))
                 for i in order]
+        batch_host = getattr(self.adapter, "batch_host", None)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, self.n, self.batch_size):
                 chunk = order[start:start + self.batch_size]
+                chunk_rngs = rngs[start:start + self.batch_size]
+                if batch_host is not None:
+                    # native (C++ thread pool) batch path: one call loads the
+                    # whole batch GIL-free into contiguous buffers
+                    hb = batch_host([int(i) for i in chunk], chunk_rngs)
+                    n = len(chunk)
+                    if n < self.batch_size:
+                        hb = {k: np.concatenate(
+                            [v, np.zeros((self.batch_size - n,) + v.shape[1:],
+                                         v.dtype)])
+                            for k, v in hb.items()}
+                    hb["valid"] = np.concatenate(
+                        [np.ones(n, np.float32),
+                         np.zeros(self.batch_size - n, np.float32)])
+                    if "idx" in hb:
+                        hb["idx"] = hb["idx"].astype(np.int32)
+                        hb["idx"][n:] = self.n
+                    yield hb
+                    continue
                 samples = list(pool.map(
                     lambda t: self.adapter.sample_host(int(t[0]), t[1]),
-                    zip(chunk, rngs[start:start + self.batch_size])))
+                    zip(chunk, chunk_rngs)))
                 yield collate_pad(samples, self.batch_size, self.n)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:

@@ -24,7 +24,9 @@ from mla_tpu.ops import image as im
 from mla_tpu.ops import specaug as sa
 from mla_tpu.ops.fbank import normalize_fbank
 
-CANONICAL = {224: 256, 256: 288}   # host decode size per target crop
+CANONICAL = {224: 256, 256: 288,
+             32: 48, 64: 96}   # host decode size per target crop (small
+                               # entries: test/CI-sized adapters)
 
 
 def scale_box(box, orig_hw, canon: int):

@@ -301,7 +301,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
               gs_flag=cfg.gs_flag, qmf=cfg.modulation == "QMF", dtype=dtype)
     if cfg.lorb == "large":
         kw.pop("qmf")
-        return CAVClassifier(**kw)
+        return CAVClassifier(img_size=cfg.image_size or 224, **kw)
     if cfg.lorb == "m3ae":
         if cfg.modal3:
             return Modal3Classifier(**kw)

@@ -23,7 +23,6 @@ from mla_tpu.train.state import TrainState
 
 
 def _to_saveable(state: TrainState) -> Dict[str, Any]:
-    tree = jax.tree_util.tree_map(np.asarray, state, is_leaf=lambda x: False)
     # typed PRNG keys are not serializable; store raw key data
     d = {"params": state.params, "batch_stats": state.batch_stats,
          "opt_state": state.opt_state,

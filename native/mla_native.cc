@@ -1,0 +1,343 @@
+// mla_native — GIL-free host-side data loading for the MLA-TPU input pipeline.
+//
+// The reference feeds the GPU from 32 torch DataLoader worker *processes*
+// (reference: main.py:813-817) doing np.load + PIL decode per sample. Here the
+// host side is a C++ thread pool exposed over ctypes:
+//   * batched .npy reads (spectrograms/fbanks/tokens/CLIP features) straight
+//     into one contiguous, preallocated batch buffer (zero Python-object
+//     churn, no GIL)
+//   * batched JPEG decode (libjpeg) + box-filtered bilinear resize to the
+//     canonical decode size consumed by the fused on-device transform
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, links -ljpeg)
+// Python binding: mla_tpu/data/native_loader.py (ctypes, graceful fallback).
+
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// thread pool
+// ---------------------------------------------------------------------------
+class Pool {
+ public:
+  explicit Pool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { Run(); });
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void Submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      q_.push(std::move(f));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void Run() {
+    for (;;) {
+      std::function<void()> f;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        f = std::move(q_.front());
+        q_.pop();
+      }
+      f();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::queue<std::function<void()>> q_;
+  std::vector<std::thread> workers_;
+  bool stop_ = false;
+};
+
+Pool& pool() {
+  static Pool* p = new Pool(
+      std::max(2u, std::thread::hardware_concurrency()));
+  return *p;
+}
+
+struct Latch {
+  explicit Latch(int n) : remaining(n) {}
+  void Done() {
+    std::lock_guard<std::mutex> lk(mu);
+    if (--remaining == 0) cv.notify_all();
+  }
+  void Wait() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [this] { return remaining == 0; });
+  }
+  std::mutex mu;
+  std::condition_variable cv;
+  int remaining;
+};
+
+// ---------------------------------------------------------------------------
+// .npy parsing (v1/v2 headers)
+// ---------------------------------------------------------------------------
+struct NpyInfo {
+  std::string descr;
+  std::vector<int64_t> shape;
+  size_t data_offset = 0;
+  int64_t elems() const {
+    int64_t n = 1;
+    for (auto d : shape) n *= d;
+    return n;
+  }
+};
+
+bool ParseNpyHeader(FILE* f, NpyInfo* info) {
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return false;
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return false;
+  int major = magic[6];
+  uint32_t hlen = 0;
+  if (major == 1) {
+    unsigned char b[2];
+    if (fread(b, 1, 2, f) != 2) return false;
+    hlen = b[0] | (b[1] << 8);
+    info->data_offset = 10 + hlen;
+  } else {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) return false;
+    hlen = b[0] | (b[1] << 8) | (b[2] << 16) | (uint32_t(b[3]) << 24);
+    info->data_offset = 12 + hlen;
+  }
+  std::string header(hlen, '\0');
+  if (fread(&header[0], 1, hlen, f) != hlen) return false;
+  auto find_val = [&](const char* key) -> std::string {
+    size_t p = header.find(key);
+    if (p == std::string::npos) return "";
+    p = header.find(':', p);
+    return header.substr(p + 1, 64);
+  };
+  std::string d = find_val("'descr'");
+  size_t q1 = d.find('\'');
+  size_t q2 = d.find('\'', q1 + 1);
+  info->descr = d.substr(q1 + 1, q2 - q1 - 1);
+  size_t sp = header.find("'shape'");
+  size_t lp = header.find('(', sp);
+  size_t rp = header.find(')', lp);
+  std::string tup = header.substr(lp + 1, rp - lp - 1);
+  info->shape.clear();
+  const char* s = tup.c_str();
+  while (*s) {
+    while (*s == ' ' || *s == ',') ++s;
+    if (!*s) break;
+    info->shape.push_back(strtoll(s, const_cast<char**>(&s), 10));
+  }
+  return true;
+}
+
+// load one npy, convert to float32 or int32, write exactly `out_elems`
+// values (zero-padded / truncated) into out.
+bool LoadNpyInto(const char* path, void* out, int64_t out_elems,
+                 bool as_int32) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  NpyInfo info;
+  if (!ParseNpyHeader(f, &info)) {
+    fclose(f);
+    return false;
+  }
+  int64_t n = std::min<int64_t>(info.elems(), out_elems);
+  fseek(f, (long)info.data_offset, SEEK_SET);
+  bool ok = true;
+  auto read_as = [&](auto* tmp, size_t esize) -> bool {
+    return fread(tmp, esize, n, f) == (size_t)n;
+  };
+  std::vector<unsigned char> buf;
+  if (info.descr == "<f4") {
+    buf.resize(n * 4);
+    ok = read_as(buf.data(), 4);
+    const float* src = reinterpret_cast<const float*>(buf.data());
+    if (as_int32) {
+      int32_t* dst = static_cast<int32_t*>(out);
+      for (int64_t i = 0; i < n; ++i) dst[i] = (int32_t)src[i];
+    } else {
+      memcpy(out, src, n * 4);
+    }
+  } else if (info.descr == "<f8") {
+    buf.resize(n * 8);
+    ok = read_as(buf.data(), 8);
+    const double* src = reinterpret_cast<const double*>(buf.data());
+    if (as_int32) {
+      int32_t* dst = static_cast<int32_t*>(out);
+      for (int64_t i = 0; i < n; ++i) dst[i] = (int32_t)src[i];
+    } else {
+      float* dst = static_cast<float*>(out);
+      for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i];
+    }
+  } else if (info.descr == "<i8") {
+    buf.resize(n * 8);
+    ok = read_as(buf.data(), 8);
+    const int64_t* src = reinterpret_cast<const int64_t*>(buf.data());
+    if (as_int32) {
+      int32_t* dst = static_cast<int32_t*>(out);
+      for (int64_t i = 0; i < n; ++i) dst[i] = (int32_t)src[i];
+    } else {
+      float* dst = static_cast<float*>(out);
+      for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i];
+    }
+  } else if (info.descr == "<i4") {
+    ok = read_as(static_cast<int32_t*>(out), 4);
+    if (!as_int32) {
+      int32_t* s2 = static_cast<int32_t*>(out);
+      float* dst = static_cast<float*>(out);
+      for (int64_t i = n - 1; i >= 0; --i) dst[i] = (float)s2[i];
+    }
+  } else {
+    ok = false;
+  }
+  // zero-pad the tail (cut-and-pad semantics, extract_fbank.py:42-52)
+  int64_t esize = 4;
+  if (ok && n < out_elems)
+    memset(static_cast<char*>(out) + n * esize, 0, (out_elems - n) * esize);
+  fclose(f);
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG decode + bilinear resize to (out_h, out_w) RGB
+// ---------------------------------------------------------------------------
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf env;
+};
+
+void JpegErrorExit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->env, 1);
+}
+
+bool DecodeJpegResize(const char* path, unsigned char* out, int out_h,
+                      int out_w, int* orig_h, int* orig_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = JpegErrorExit;
+  std::vector<unsigned char> img;
+  int h = 0, w = 0;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  h = cinfo.output_height;
+  w = cinfo.output_width;
+  img.resize((size_t)h * w * 3);
+  while ((int)cinfo.output_scanline < h) {
+    unsigned char* row = img.data() + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  *orig_h = h;
+  *orig_w = w;
+  // bilinear resize to (out_h, out_w)
+  for (int y = 0; y < out_h; ++y) {
+    float sy = (y + 0.5f) * h / out_h - 0.5f;
+    int y0 = std::max(0, std::min(h - 1, (int)sy));
+    int y1 = std::min(h - 1, y0 + 1);
+    float fy = std::max(0.0f, sy - y0);
+    for (int x = 0; x < out_w; ++x) {
+      float sx = (x + 0.5f) * w / out_w - 0.5f;
+      int x0 = std::max(0, std::min(w - 1, (int)sx));
+      int x1 = std::min(w - 1, x0 + 1);
+      float fx = std::max(0.0f, sx - x0);
+      for (int c = 0; c < 3; ++c) {
+        float v00 = img[((size_t)y0 * w + x0) * 3 + c];
+        float v01 = img[((size_t)y0 * w + x1) * 3 + c];
+        float v10 = img[((size_t)y1 * w + x0) * 3 + c];
+        float v11 = img[((size_t)y1 * w + x1) * 3 + c];
+        float v = (1 - fy) * ((1 - fx) * v00 + fx * v01) +
+                  fy * ((1 - fx) * v10 + fx * v11);
+        out[((size_t)y * out_w + x) * 3 + c] = (unsigned char)(v + 0.5f);
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parallel-load n .npy files into one contiguous buffer of n*per_item
+// elements (float32 if as_int32==0 else int32); short files are zero-padded,
+// long files truncated. Returns the number of failed items.
+int mla_load_npy_batch(const char** paths, int n, void* out,
+                       int64_t per_item, int as_int32) {
+  std::atomic<int> failures{0};
+  Latch latch(n);
+  for (int i = 0; i < n; ++i) {
+    pool().Submit([&, i] {
+      char* dst = static_cast<char*>(out) + (size_t)i * per_item * 4;
+      if (!LoadNpyInto(paths[i], dst, per_item, as_int32 != 0))
+        failures.fetch_add(1);
+      latch.Done();
+    });
+  }
+  latch.Wait();
+  return failures.load();
+}
+
+// Parallel decode+resize of n JPEGs into out (n, out_h, out_w, 3) uint8.
+// orig_hw receives n*(h, w). Returns the number of failed items (failed
+// slots are zeroed).
+int mla_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
+                          int out_h, int out_w, int* orig_hw) {
+  std::atomic<int> failures{0};
+  Latch latch(n);
+  size_t stride = (size_t)out_h * out_w * 3;
+  for (int i = 0; i < n; ++i) {
+    pool().Submit([&, i] {
+      unsigned char* dst = out + (size_t)i * stride;
+      if (!DecodeJpegResize(paths[i], dst, out_h, out_w, &orig_hw[2 * i],
+                            &orig_hw[2 * i + 1])) {
+        memset(dst, 0, stride);
+        orig_hw[2 * i] = orig_hw[2 * i + 1] = 0;
+        failures.fetch_add(1);
+      }
+      latch.Done();
+    });
+  }
+  latch.Wait();
+  return failures.load();
+}
+
+int mla_native_version() { return 1; }
+
+}  // extern "C"

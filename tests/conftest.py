@@ -16,3 +16,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# XLA CPU compiles of the big fused image transforms are slow; cache them
+# across test runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

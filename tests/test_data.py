@@ -36,7 +36,7 @@ def iemo_root(tmp_path_factory):
 
 class TestAVAdapter:
     def test_batch_shapes(self, cremad_root):
-        cfg = MLAConfig(dataset="CREMAD", lorb="base",
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", image_size=64,
                         data_root=cremad_root).validate()
         ad = AVAdapter(cfg, "train")
         assert len(ad) == 6
@@ -45,14 +45,14 @@ class TestAVAdapter:
         assert len(batches) == 2
         b = batches[0]
         assert b["spec"].shape == (4, 1, 257, 626)
-        assert b["image"].shape == (4, 3, 3, 224, 224)
+        assert b["image"].shape == (4, 3, 3, 64, 64)
         assert b["label"].shape == (4,)
         # second (partial) batch is padded with valid mask
         assert float(batches[1]["valid"].sum()) == 2.0
         assert int(batches[1]["idx"][-1]) == 6  # scratch slot
 
     def test_eval_deterministic(self, cremad_root):
-        cfg = MLAConfig(dataset="CREMAD", lorb="base",
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", image_size=64,
                         data_root=cremad_root).validate()
         ad = AVAdapter(cfg, "test")
         loader = Loader(ad, batch_size=4, shuffle=False, seed=0)
@@ -62,7 +62,7 @@ class TestAVAdapter:
                                    np.asarray(b2["image"]), atol=1e-6)
 
     def test_train_shuffles_and_augments(self, cremad_root):
-        cfg = MLAConfig(dataset="CREMAD", lorb="base",
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", image_size=64,
                         data_root=cremad_root).validate()
         ad = AVAdapter(cfg, "train")
         loader = Loader(ad, batch_size=6, shuffle=True, seed=0)
@@ -76,32 +76,32 @@ class TestCAVAdapter:
         root = str(tmp_path)
         synthetic.make_cremad(root, n_train=4, n_test=2, fbank=True)
         cfg = MLAConfig(dataset="CREMAD", lorb="large", cav_augnois=True,
-                        data_root=root).validate()
+                        image_size=64, data_root=root).validate()
         ad = CAVAdapter(cfg, "train")
         b = next(Loader(ad, batch_size=4, seed=1).epoch(0))
         assert b["fbank"].shape == (4, 1024, 128)
-        assert b["image"].shape == (4, 3, 224, 224)
+        assert b["image"].shape == (4, 3, 64, 64)
 
 
 class TestM3AEAdapter:
     def test_batch(self, mvsa_root):
-        cfg = MLAConfig(dataset="MVSA", lorb="m3ae",
+        cfg = MLAConfig(dataset="MVSA", lorb="m3ae", image_size=64,
                         data_root=mvsa_root).validate()
         ad = M3AEAdapter(cfg, "train")
         b = next(Loader(ad, batch_size=5, seed=2).epoch(0))
         assert b["token"].shape == (5, 256) and b["token"].dtype == np.int32
         assert b["padding_mask"].shape == (5, 256)
-        assert b["image"].shape == (5, 3, 256, 256)
+        assert b["image"].shape == (5, 3, 64, 64)
 
 
 class TestModal3Adapter:
     def test_batch_and_masking(self, iemo_root):
-        cfg = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True,
+        cfg = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True, image_size=64,
                         mask_percent=0.5, data_root=iemo_root).validate()
         ad = Modal3Adapter(cfg, "train")
         b = next(Loader(ad, batch_size=5, shuffle=False, seed=3).epoch(0))
         assert b["fbank"].shape == (5, 1024, 128)
-        assert b["image"].shape == (5, 3, 256, 256)
+        assert b["image"].shape == (5, 3, 64, 64)
         # each sample keeps at least one modality
         keep = ad.maskmatrix
         assert (keep.sum(axis=1) >= 1).all()

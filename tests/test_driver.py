@@ -25,7 +25,7 @@ class TestDriver:
         from mla_tpu.runtime import checkpoint as ckpt_lib
         from mla_tpu.runtime.driver import run
 
-        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, image_size=32,
                         train=True, epochs=2, batch_size=4,
                         data_root=tiny_cremad, ckpt_path=str(tmp_path / "ck"),
                         use_tensorboard=False, num_workers=2,
@@ -47,7 +47,7 @@ class TestDriver:
     def test_eval_only_branch(self, tiny_cremad, tmp_path):
         from mla_tpu.runtime.driver import run
 
-        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, image_size=32,
                         train=True, epochs=1, batch_size=4,
                         data_root=tiny_cremad,
                         ckpt_path=str(tmp_path / "ck2"),

@@ -1,0 +1,92 @@
+"""Native C++ loader core: correctness vs numpy/PIL and throughput sanity."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from mla_tpu.data import native_loader as nl
+
+
+@pytest.fixture(scope="module")
+def npy_tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npys")
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i, (shape, dtype) in enumerate([((64, 32), np.float32),
+                                        ((64, 32), np.float64),
+                                        ((40, 32), np.float32),   # short
+                                        ((80, 32), np.float32)]):  # long
+        a = rng.standard_normal(shape).astype(dtype)
+        p = str(d / f"x{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+        arrays.append(a)
+    return paths, arrays
+
+
+class TestNativeNpy:
+    def test_available(self):
+        assert nl.available(), "native build failed (g++/libjpeg expected)"
+
+    def test_matches_numpy_with_pad_and_cut(self, npy_tree):
+        paths, arrays = npy_tree
+        out = nl.load_npy_batch(paths, (64, 32))
+        assert out.shape == (4, 64, 32) and out.dtype == np.float32
+        np.testing.assert_allclose(out[0], arrays[0], atol=1e-6)
+        np.testing.assert_allclose(out[1], arrays[1].astype(np.float32),
+                                   atol=1e-6)
+        np.testing.assert_allclose(out[2][:40], arrays[2], atol=1e-6)
+        np.testing.assert_allclose(out[2][40:], 0.0)
+        np.testing.assert_allclose(out[3], arrays[3].reshape(-1)[:64 * 32]
+                                   .reshape(64, 32), atol=1e-6)
+
+    def test_int_tokens(self, tmp_path):
+        tok = np.random.default_rng(1).integers(0, 30522, (1, 256)
+                                                ).astype(np.int64)
+        p = str(tmp_path / "t.npy")
+        np.save(p, tok)
+        out = nl.load_npy_batch([p], (256,), dtype=np.int32)
+        np.testing.assert_array_equal(out[0], tok.reshape(-1).astype(np.int32))
+
+
+class TestNativeJpeg:
+    def test_decode_matches_pil(self, tmp_path):
+        import cv2
+        # smooth gradient: random noise is destroyed by jpeg chroma subsampling
+        yy, xx = np.mgrid[0:64, 0:48]
+        img = np.stack([yy * 3, xx * 5, (yy + xx) * 2], axis=-1
+                       ).astype(np.uint8)
+        p = str(tmp_path / "a.jpg")
+        cv2.imwrite(p, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 100])
+        out, hw = nl.decode_jpeg_batch([p], (64, 48))
+        assert hw[0].tolist() == [64, 48]
+        # same-size decode: no resampling, only jpeg loss
+        assert np.mean(np.abs(out[0].astype(int) - img.astype(int))) < 3.0
+
+    def test_bad_path_counts_failure_but_zeroes(self, tmp_path):
+        if not nl.available():
+            pytest.skip("no native lib")
+        out, hw = nl.decode_jpeg_batch([str(tmp_path / "missing.jpg")],
+                                       (32, 32))
+        assert out.shape == (1, 32, 32, 3)
+        assert (out == 0).all() and hw[0].tolist() == [0, 0]
+
+
+class TestThroughput:
+    def test_batch_load_faster_than_sequential(self, tmp_path):
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(64):
+            p = str(tmp_path / f"s{i}.npy")
+            np.save(p, rng.standard_normal((257, 626)).astype(np.float32))
+            paths.append(p)
+        t0 = time.perf_counter()
+        out = nl.load_npy_batch(paths, (257, 626))
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ref = np.stack([np.load(p) for p in paths])
+        t_np = time.perf_counter() - t0
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        print(f"native {t_native * 1e3:.1f} ms vs numpy {t_np * 1e3:.1f} ms")

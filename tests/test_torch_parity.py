@@ -16,6 +16,20 @@ import pytest
 torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
+# the reference m3ae.py imports torchvision (absent here) at module level but
+# only uses it inside an eval helper; stub it so the module imports
+import types  # noqa: E402
+
+if "torchvision" not in sys.modules:
+    import importlib.machinery
+    _tv = types.ModuleType("torchvision")
+    _tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    _tv.transforms = types.ModuleType("torchvision.transforms")
+    _tv.transforms.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", None)
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.transforms"] = _tv.transforms
+
 from mla_tpu.models import torch_import as ti
 from mla_tpu.models.cav_mae import CAVMAEFT
 from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
