@@ -102,6 +102,8 @@ class MLAConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
     half_precision_eval: bool = True
     log_every: int = 50
+    profile_dir: Optional[str] = None  # dump a jax.profiler trace of a few
+                                       # training steps (SURVEY.md §5.1)
     image_size: Optional[int] = None  # override the per-dataset crop size
                                       # (224 base/large, 256 m3ae); used by
                                       # tests/CI for reduced-resolution runs
@@ -219,6 +221,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", default=d.num_workers, type=int)
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--image_size", default=None, type=int)
+    p.add_argument("--profile_dir", default=None, type=str)
     return p
 
 

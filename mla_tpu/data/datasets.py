@@ -241,6 +241,47 @@ class M3AEAdapter:
                 "valid": jnp.asarray(host["valid"], jnp.float32)}
 
 
+class TVAdapter(M3AEAdapter):
+    """MVSA text-visual for non-m3ae runs (dataset.py:482-592): BERT tokens +
+    the SAME image stacked 3x as pseudo-frames (dataset.py:559-574), AVDataset
+    transforms (224 crop). NOTE: the reference pairs this dataset with
+    AVClassifier, which rejects MVSA (basic_model.py:20-26) — the path is
+    unreachable as shipped; kept for datalist/layout parity."""
+    out = 224
+
+    def sample_host(self, i: int, rng: np.random.Generator) -> Dict:
+        out = super().sample_host(i, rng)
+        # 3 copies of one image, each with the train-time transform geometry
+        if self.mode == "train":
+            img_path = self._image_path(self.index.names[i])
+            _, hw = T.host_decode(img_path, self.canon)
+            boxes, flips = [out["boxes"]], [out["flip"]]
+            for _ in range(2):
+                box = im.random_resized_crop_params(rng, *hw)
+                boxes.append(np.asarray(T.scale_box(box, hw, self.canon),
+                                        np.float32))
+                flips.append(rng.random() < 0.5)
+            out["boxes"] = np.stack(boxes)
+            out["flip"] = np.asarray(flips, bool)
+        else:
+            out["boxes"] = np.stack([out["boxes"]] * 3)
+            out["flip"] = np.asarray([False] * 3)
+        out["frames"] = np.stack([out.pop("image_u8")] * 3)
+        return out
+
+    def finish_batch(self, host: Dict, key) -> Dict:
+        image = T.av_frames_transform(jnp.asarray(host["frames"]),
+                                      jnp.asarray(host["boxes"]),
+                                      jnp.asarray(host["flip"]), key,
+                                      out=self.out)
+        return {"token": jnp.asarray(host["token"], jnp.int32),
+                "padding_mask": jnp.asarray(host["pm"], jnp.float32),
+                "image": image,
+                "label": jnp.asarray(host["label"], jnp.int32),
+                "idx": jnp.asarray(host["idx"], jnp.int32),
+                "valid": jnp.asarray(host["valid"], jnp.float32)}
+
+
 class Modal3Adapter(M3AEAdapter):
     """IEMOCAP 3-modality (dataset.py:642-803): tokens + mid face-crop frame +
     1024x128 fbank (NOT normalized in the reference's Modal3 path), with the
@@ -324,4 +365,6 @@ def build_adapter(cfg: MLAConfig, mode: str):
         return CAVAdapter(cfg, mode)
     if cfg.lorb == "m3ae":
         return M3AEAdapter(cfg, mode)
+    if cfg.dataset == "MVSA":
+        return TVAdapter(cfg, mode)   # main.py:770-772
     return AVAdapter(cfg, mode)

@@ -114,8 +114,36 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
     return out[:, :, :s, :]
 
 
+@jax.custom_vjp
+def _flash_mha(q, k, v, padding_mask):
+    return flash_attention(q, k, v, padding_mask)
+
+
+def _flash_mha_fwd(q, k, v, padding_mask):
+    return flash_attention(q, k, v, padding_mask), (q, k, v, padding_mask)
+
+
+def _flash_mha_bwd(res, g):
+    """Backward via XLA recomputation (scores rebuilt, O(S^2) memory — fine at
+    these <=1k-token lengths). A blockwise Pallas backward is a future
+    optimization; forward stays the fused kernel."""
+    q, k, v, padding_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, padding_mask),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
 def fused_attention(q, k, v, padding_mask=None, scale=None):
-    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
-    if jax.default_backend() == "tpu":
-        return flash_attention(q, k, v, padding_mask, scale)
+    """Dispatch: Pallas kernel (with custom VJP) on TPU at the default scale,
+    XLA reference elsewhere."""
+    if jax.default_backend() == "tpu" and scale is None:
+        if padding_mask is None:
+            padding_mask = jnp.zeros(
+                (q.shape[0], q.shape[2]), dtype=jnp.float32)
+        return _flash_mha(q, k, v, padding_mask)
     return attention_reference(q, k, v, padding_mask, scale)

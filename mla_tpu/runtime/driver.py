@@ -76,6 +76,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     state = create_train_state(model, cfg, sample, spec,
                                n_data=len(train_adapter),
                                seed=cfg.random_seed)
+    # cav_opti lr groups need the param tree (main.py:739-746); state layout
+    # is unchanged, only per-leaf lr scales are attached
+    spec = optim.make_spec(cfg, state.params)
     if cfg.ckpt_load_path_train:
         state = state.replace(params=ckpt_lib.warm_start_params(
             cfg.ckpt_load_path_train, state.params))
@@ -89,8 +92,16 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     if not cfg.train:
-        # eval-only: cfg.ckpt_path is the checkpoint to load (main.py:946-953)
-        state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
+        # eval-only: cfg.ckpt_path is the checkpoint to load (main.py:946-953).
+        # .pth checkpoints (e.g. the released Zenodo models, README.md:29) are
+        # imported through the torch->flax shim.
+        if cfg.ckpt_path.endswith((".pth", ".pt", ".pkl")):
+            from mla_tpu.models.torch_import import load_torch_checkpoint
+            params, stats = load_torch_checkpoint(cfg.ckpt_path, cfg)
+            state = state.replace(params=params,
+                                  batch_stats=stats or state.batch_stats)
+        else:
+            state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
         return state, accs
@@ -104,12 +115,19 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         t0 = time.time()
         msum = None  # device-side accumulation: no per-step host sync
         n_batches = 0
+        profiling = cfg.profile_dir and epoch == 0
         with jax.profiler.StepTraceAnnotation("train_epoch", epoch=epoch):
             for bi, batch in enumerate(train_loader.epoch(epoch)):
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
+                if profiling and bi == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 state, metrics = train_step(state, batch, lr,
                                             jnp.int32(bi), jnp.int32(epoch))
+                if profiling and bi == 6:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
                 msum = metrics if msum is None else \
                     jax.tree_util.tree_map(jnp.add, msum, metrics)
                 n_batches += 1

@@ -46,7 +46,12 @@ def create_train_state(model, cfg, sample_batch, spec: OptimizerSpec,
     variables = model.init(jax.random.key(seed), sample_batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    gs = init_gs_state(cfg.feature_dim) if cfg.gs_flag else None
+    gs = None
+    if cfg.gs_flag:
+        # size Pl to the actual shared-head width (fixes the reference's
+        # hardcoded 512 that would shape-error on 768-wide heads, SURVEY C10)
+        head_dim = params["fusion_module"]["fc_out"]["kernel"].shape[0]
+        gs = init_gs_state(head_dim)
     qmf = None
     if cfg.modulation == "QMF":
         from mla_tpu.models.classifiers import modalities_of
