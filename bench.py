@@ -60,7 +60,9 @@ def bench_tpu(steps=20):
     state = create_train_state(model, cfg, init_batch, opt_spec)
     mla_step = steps_lib.make_mla_train_step(model, cfg, opt_spec, len_dl=105)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
     def full_step(state, frames_u8, boxes, flips, spec, label, key, lr, bi):
         image = T.av_frames_transform(frames_u8, boxes, flips, key, out=IMG)
         batch = {"spec": spec, "image": image, "label": label,

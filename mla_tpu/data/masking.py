@@ -30,9 +30,16 @@ def random_mask(view_num: int, alldata_len: int, missing_rate: float,
     if one_rate == 1:
         return np.ones((alldata_len, view_num), dtype=int)
 
+    # The reference loops until |rate - target| < 0.005 (dataset.py:621),
+    # which can never converge for small datasets (achievable rates are
+    # multiples of 1/(view_num*alldata_len)); cap iterations and keep the
+    # best matrix seen.
     error = 1.0
-    matrix = None
-    while error >= 0.005:
+    matrix = best = None
+    best_err = np.inf
+    for _ in range(1000):
+        if error < 0.005:
+            break
         view_preserve = one_hot_rows()
         one_num = view_num * alldata_len * one_rate - alldata_len
         ratio = one_num / (view_num * alldata_len)
@@ -46,7 +53,9 @@ def random_mask(view_num: int, alldata_len: int, missing_rate: float,
         matrix = ((matrix_iter + view_preserve) > 0).astype(int)
         ratio = np.sum(matrix) / (view_num * alldata_len)
         error = abs(one_rate - ratio)
-    return matrix
+        if error < best_err:
+            best_err, best = error, matrix
+    return best
 
 
 def qmf_mask_set(names, mask_percent: float) -> set:

@@ -102,32 +102,53 @@ class Loader:
                 yield collate_pad(samples, self.batch_size, self.n)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
-        """Device-ready batches with background prefetch."""
+        """Device-ready batches with background prefetch.
+
+        Abandoning the iterator mid-epoch (e.g. taking only the first batch)
+        stops the producer thread and shuts the worker pool down — no thread
+        leak across many short epochs."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for hb in self._host_batches(epoch):
-                    q.put(hb)
+                    while not stop.is_set():
+                        try:
+                            q.put(hb, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:   # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         step = 0
-        while True:
-            hb = q.get()
-            if hb is sentinel:
-                if err:
-                    raise err[0]
-                return
-            if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
-                hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
-            key = jax.random.fold_in(self.key, epoch * 100003 + step)
-            yield self.adapter.finish_batch(hb, key)
-            step += 1
+        try:
+            while True:
+                hb = q.get()
+                if hb is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                if self.mesh is not None:
+                    sh = batch_sharding(self.mesh)
+                    hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
+                key = jax.random.fold_in(self.key, epoch * 100003 + step)
+                yield self.adapter.finish_batch(hb, key)
+                step += 1
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

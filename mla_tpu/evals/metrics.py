@@ -17,6 +17,16 @@ from mla_tpu.models.classifiers import modalities_of
 from mla_tpu.train.steps import _energy_conf, sliced_modality_logits
 
 
+def top1_accuracy(logits, label, valid=None):
+    """Plain top-1 accuracy (reference: utils/evaluation.py:4-15
+    obtain_top1_accuracy — defined but unused there)."""
+    pred = jnp.argmax(logits.astype(jnp.float32), axis=1)
+    correct = (pred == label).astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(correct)
+    return jnp.sum(correct * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def per_class_counts(logits, label, valid, n_classes):
     pred = jnp.argmax(logits.astype(jnp.float32), axis=1)
     correct = (pred == label).astype(jnp.float32) * valid

@@ -114,6 +114,87 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
     return out[:, :, :s, :]
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale):
+    """Blockwise backward: recompute P for this q block (full K/V in VMEM),
+    then dV += P^T dO ; dS = P*(dO V^T - delta) ; dQ = dS K ; dK += dS^T Q.
+    Scores never touch HBM. dk/dv blocks are revisited across the q grid and
+    accumulated (init at qi == 0)."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)            # (QB, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (S, D)
+    v = v_ref[0, 0].astype(jnp.float32)            # (S, D)
+    do = do_ref[0, 0].astype(jnp.float32)          # (QB, D)
+    mask = mask_ref[0]                             # (1, S)
+
+    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask > 0, _NEG, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (QB, S)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (QB, S)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)               # (QB, 1)
+    ds = p * (dp - delta)                                         # (QB, S)
+    # masked positions have p == 0 -> ds == 0 already
+
+    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(qi != 0)
+    def _():
+        dk_ref[0, 0] = dk_ref[0, 0] + dk_blk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_ref[0, 0] + dv_blk.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
+                        interpret=False):
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    qp = _pad_to(q, 2, _QBLOCK)
+    kp = _pad_to(k, 2, _QBLOCK)
+    vp = _pad_to(v, 2, _QBLOCK)
+    dop = _pad_to(do, 2, _QBLOCK)
+    mp = _pad_to(padding_mask.astype(jnp.float32), 1, _QBLOCK)
+    if mp.shape[1] != s:
+        mp = mp.at[:, s:].set(1.0)
+    mp = mp[:, None, :]
+    sp = qp.shape[2]
+    nq = sp // _QBLOCK
+
+    qspec = pl.BlockSpec((1, 1, _QBLOCK, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, sp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct(qp.shape, q.dtype),
+                   jax.ShapeDtypeStruct(kp.shape, k.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, v.dtype)),
+        grid=(b, h, nq),
+        in_specs=[qspec, kspec, kspec, qspec,
+                  pl.BlockSpec((1, 1, sp), lambda bi, hi, qi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(qspec, kspec, kspec),
+        interpret=interpret,
+    )(qp, kp, vp, dop, mp)
+    return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :]
+
+
 @jax.custom_vjp
 def _flash_mha(q, k, v, padding_mask):
     return flash_attention(q, k, v, padding_mask)
@@ -124,14 +205,8 @@ def _flash_mha_fwd(q, k, v, padding_mask):
 
 
 def _flash_mha_bwd(res, g):
-    """Backward via XLA recomputation (scores rebuilt, O(S^2) memory — fine at
-    these <=1k-token lengths). A blockwise Pallas backward is a future
-    optimization; forward stays the fused kernel."""
     q, k, v, padding_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_reference(q_, k_, v_, padding_mask),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = flash_attention_bwd(q, k, v, g, padding_mask)
     return dq, dk, dv, None
 
 

@@ -142,3 +142,35 @@ class TestClassifiers:
         cfg3 = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True).validate()
         assert isinstance(classifiers.build_classifier(cfg3),
                           classifiers.Modal3Classifier)
+
+
+class TestExtraFusionHeads:
+    """FiLM / GatedFusion defined-but-unconstructed heads (fusion_modules.py:38-99)."""
+
+    def test_film(self):
+        from mla_tpu.models.fusion import FiLM
+        m = FiLM(dim=16, output_dim=5)
+        x = jnp.ones((2, 16))
+        v = m.init(jax.random.key(0), x, x)
+        _, _, out = m.apply(v, x, x)
+        assert out.shape == (2, 5)
+
+    def test_gated(self):
+        from mla_tpu.models.fusion import GatedFusion
+        m = GatedFusion(dim=16, output_dim=5, x_gate=False)
+        x = jnp.ones((2, 16))
+        v = m.init(jax.random.key(0), x, x)
+        ox, oy, out = m.apply(v, x, x)
+        assert out.shape == (2, 5) and ox.shape == (2, 16)
+
+    def test_sum_fusion_bias_slicing(self):
+        from mla_tpu.models.fusion import SumFusion
+        from mla_tpu.train.steps import sliced_modality_logits
+        m = SumFusion(output_dim=4)
+        x, y = jnp.ones((2, 8)), jnp.ones((2, 8)) * 2
+        v = m.init(jax.random.key(0), x, y)
+        _, _, out = m.apply(v, x, y)
+        sl = sliced_modality_logits({"a": x, "v": y}, v["params"], "sum",
+                                    False, bias_div=False)
+        np.testing.assert_allclose(np.asarray(sl["a"] + sl["v"]),
+                                   np.asarray(out), atol=1e-5)

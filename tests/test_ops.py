@@ -22,7 +22,8 @@ class TestStft:
                          center=True, pad_mode="reflect", return_complex=True)
         ref = np.log(np.abs(ref.numpy()) + 1e-7)
         assert ours.shape == (129, 626)
-        np.testing.assert_allclose(ours, ref, atol=2e-4)
+        # log-domain comparison: tiny magnitudes amplify fp32 fft differences
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
 
     def test_batched(self):
         x = np.random.default_rng(1).standard_normal((3, 80000)).astype(np.float32)
@@ -167,6 +168,24 @@ class TestAttention:
         ours = attention.flash_attention(q, k, v, jnp.asarray(mask), interpret=True)
         ref = attention.attention_reference(q, k, v, jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_pallas_backward_matches_reference_grads(self):
+        q, k, v = self._rand_qkv(b=2, h=2, s=200, d=64, seed=3)
+        mask = np.zeros((2, 200), np.float32)
+        mask[0, 150:] = 1.0
+        mask_j = jnp.asarray(mask)
+        rng = np.random.default_rng(4)
+        do = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+        dq, dk, dv = attention.flash_attention_bwd(q, k, v, do, mask_j,
+                                                   interpret=True)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attention.attention_reference(q_, k_, v_, mask_j),
+            q, k, v)
+        rdq, rdk, rdv = vjp(do)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=3e-5)
 
     def test_pallas_no_mask(self):
         q, k, v = self._rand_qkv(b=1, h=2, s=128, d=64, seed=2)

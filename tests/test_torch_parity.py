@@ -78,8 +78,14 @@ class TestResNetParity:
 class TestM3AEParity:
     def test_text_encoder_matches_reference(self):
         from ml_collections import ConfigDict
+        import models.m3ae as ref_m3ae
         from models.m3ae import (MaskedMultimodalAutoencoder,
                                  get_1d_sincos_pos_embed)
+        # Reference bug: DropPath.forward (m3ae.py:52-62) hardcodes cuda and
+        # returns None when deterministic=False (its return is commented out),
+        # so the shipped Block.forward crashes on any device. drop_path is 0
+        # in every config; identity is the intended semantics.
+        ref_m3ae.DropPath.forward = lambda self, x, deterministic=False: x
         torch.manual_seed(2)
         ref = MaskedMultimodalAutoencoder(
             text_vocab_size=1000,
