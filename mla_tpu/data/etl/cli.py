@@ -112,19 +112,28 @@ def cmd_video_frames(args):
 
 
 def cmd_extract_token(args):
-    from transformers import BertTokenizer
-    tok = BertTokenizer.from_pretrained(args.tokenizer)
     os.makedirs(args.out_dir, exist_ok=True)
-    with open(args.text_file) as f:
-        for line in f:
-            name, _, text = line.rstrip("\n").partition("\t")
+    if args.vocab:
+        # self-contained C++ WordPiece (native/wordpiece.cc)
+        from mla_tpu.data.wordpiece import WordPieceTokenizer
+        wp = WordPieceTokenizer(args.vocab)
+        encode = lambda text: wp.encode(text, args.max_length)
+    else:
+        from transformers import BertTokenizer
+        tok = BertTokenizer.from_pretrained(args.tokenizer)
+
+        def encode(text):
             enc = tok(text, max_length=args.max_length, truncation=True,
                       padding="max_length", add_special_tokens=False,
                       return_tensors="np")
-            np.save(join(args.out_dir, name + "_token.npy"),
-                    enc["input_ids"].astype(np.int64))
-            np.save(join(args.out_dir, name + "_pm.npy"),
+            return (enc["input_ids"].astype(np.int64),
                     (1 - enc["attention_mask"]).astype(np.float32))
+    with open(args.text_file) as f:
+        for line in f:
+            name, _, text = line.rstrip("\n").partition("\t")
+            ids, pm = encode(text)
+            np.save(join(args.out_dir, name + "_token.npy"), ids)
+            np.save(join(args.out_dir, name + "_pm.npy"), pm)
 
 
 def cmd_gen_stat(args):
@@ -179,6 +188,9 @@ def main(argv=None):
     s.add_argument("out_dir")
     s.add_argument("--max_length", type=int, default=256)
     s.add_argument("--tokenizer", default="bert-base-uncased")
+    s.add_argument("--vocab", default=None,
+                   help="vocab.txt for the native C++ WordPiece tokenizer "
+                        "(no transformers dependency)")
     s.set_defaults(fn=cmd_extract_token)
 
     s = sub.add_parser("gen-stat")

@@ -90,3 +90,45 @@ class TestThroughput:
         t_np = time.perf_counter() - t0
         np.testing.assert_allclose(out, ref, atol=1e-6)
         print(f"native {t_native * 1e3:.1f} ms vs numpy {t_np * 1e3:.1f} ms")
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self, tmp_path):
+        from mla_tpu.data.wordpiece import WordPieceTokenizer
+        vocab = ["[PAD]", "[UNK]", "the", "quick", "fox", "##es", "jump",
+                 "##ing", "un", "##want", "##ed", ",", "!"]
+        p = str(tmp_path / "vocab.txt")
+        open(p, "w").write("\n".join(vocab) + "\n")
+        t = WordPieceTokenizer(p)
+        ids, pm = t.encode("The quick FOXES, unwanted jumping!", max_length=12)
+        inv = dict(enumerate(vocab))
+        n = int((pm[0] == 0).sum())
+        toks = [inv[int(i)] for i in ids[0][:n]]
+        assert toks == ["the", "quick", "fox", "##es", ",", "un", "##want",
+                        "##ed", "jump", "##ing", "!"]
+        assert pm.shape == (1, 12) and pm[0, -1] == 1.0
+
+    def test_unknown_and_truncation(self, tmp_path):
+        from mla_tpu.data.wordpiece import WordPieceTokenizer
+        vocab = ["[PAD]", "[UNK]", "a"]
+        p = str(tmp_path / "vocab.txt")
+        open(p, "w").write("\n".join(vocab) + "\n")
+        t = WordPieceTokenizer(p)
+        ids, pm = t.encode("a zzz " + "a " * 20, max_length=4)
+        assert list(ids[0]) == [2, 1, 2, 2]   # a, [UNK], a, a (truncated)
+        assert (pm == 0).all()
+
+    def test_etl_cli_native_vocab(self, tmp_path):
+        from mla_tpu.data.etl import cli
+        vocab = ["[PAD]", "[UNK]", "hello", "world"]
+        vp = str(tmp_path / "vocab.txt")
+        open(vp, "w").write("\n".join(vocab) + "\n")
+        tsv = str(tmp_path / "t.tsv")
+        open(tsv, "w").write("s0\thello world\n")
+        outd = str(tmp_path / "tok")
+        cli.main(["extract-token", tsv, outd, "--max_length", "8",
+                  "--vocab", vp])
+        ids = np.load(os.path.join(outd, "s0_token.npy"))
+        pm = np.load(os.path.join(outd, "s0_pm.npy"))
+        assert ids.shape == (1, 8) and list(ids[0][:2]) == [2, 3]
+        assert pm[0, 0] == 0 and pm[0, -1] == 1
