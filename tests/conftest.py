@@ -16,7 +16,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# XLA CPU compiles of the big fused image transforms are slow; cache them
-# across test runs
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache here — XLA:CPU AOT cache entries have
+# machine-feature mismatches in this VM (cpu_aot_loader warns "could lead to
+# SIGILL") and intermittently SIGABRT the test process when loaded.
