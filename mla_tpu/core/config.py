@@ -100,7 +100,6 @@ class MLAConfig:
     compute_dtype: str = "bfloat16"
     num_workers: int = 8             # host-side loader threads
     mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
-    half_precision_eval: bool = True
     log_every: int = 50
     profile_dir: Optional[str] = None  # dump a jax.profiler trace of a few
                                        # training steps (SURVEY.md §5.1)

@@ -201,7 +201,11 @@ def _flash_mha(q, k, v, padding_mask):
 
 
 def _flash_mha_fwd(q, k, v, padding_mask):
-    return flash_attention(q, k, v, padding_mask), (q, k, v, padding_mask)
+    # When differentiated, use the XLA forward: the backward below recomputes
+    # the same XLA attention, and XLA CSEs the two — measured 18% faster m3ae
+    # train step than pallas-fwd + recompute-bwd. The undifferentiated primal
+    # path (inference) still runs the fused Pallas kernel via _flash_mha.
+    return attention_reference(q, k, v, padding_mask), (q, k, v, padding_mask)
 
 
 # Default backward: XLA recomputation. At these sequence lengths (<=640) XLA's

@@ -60,17 +60,20 @@ def init_opt_state(spec: OptimizerSpec, params) -> Dict[str, Any]:
 
 
 def _leaf_sgd(spec, lr_scale, p, g, buf, lr, mode):
-    g_eff = jnp.where(mode == GHOST, 0.0, 1.0) * g
-    d = g_eff + spec.weight_decay * p
+    # modes are static Python ints (the modality partition is static):
+    # short-circuit SKIP leaves entirely — no read/write traffic at all
+    if mode == SKIP:
+        return p, buf
+    d = spec.weight_decay * p if mode == GHOST else g + spec.weight_decay * p
     new_buf = spec.momentum * buf + d
     new_p = p - lr * lr_scale * new_buf
-    keep = mode == SKIP
-    return jnp.where(keep, p, new_p), jnp.where(keep, buf, new_buf)
+    return new_p, new_buf
 
 
 def _leaf_adam(spec, lr_scale, p, g, m, v, t, lr, mode):
-    g_eff = jnp.where(mode == GHOST, 0.0, 1.0) * g
-    d = g_eff + spec.weight_decay * p
+    if mode == SKIP:
+        return p, m, v, t
+    d = spec.weight_decay * p if mode == GHOST else g + spec.weight_decay * p
     new_t = t + 1
     new_m = spec.b1 * m + (1 - spec.b1) * d
     new_v = spec.b2 * v + (1 - spec.b2) * d * d
@@ -78,9 +81,7 @@ def _leaf_adam(spec, lr_scale, p, g, m, v, t, lr, mode):
     mhat = new_m / (1 - spec.b1 ** tf)
     vhat = new_v / (1 - spec.b2 ** tf)
     new_p = p - lr * lr_scale * mhat / (jnp.sqrt(vhat) + spec.eps)
-    keep = mode == SKIP
-    return (jnp.where(keep, p, new_p), jnp.where(keep, m, new_m),
-            jnp.where(keep, v, new_v), jnp.where(keep, t, new_t))
+    return new_p, new_m, new_v, new_t
 
 
 def apply_updates(spec: OptimizerSpec, params, grads, opt_state,
