@@ -221,6 +221,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--image_size", default=None, type=int)
     p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--mesh_shape", default=None, type=str,
+                   help="comma-separated (data, model) mesh, e.g. '8,1'")
     return p
 
 
@@ -229,4 +231,6 @@ def config_from_args(argv=None) -> MLAConfig:
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(MLAConfig)
           if hasattr(ns, f.name)}
     kw["ghost_updates"] = not ns.no_ghost_updates
+    if ns.mesh_shape:
+        kw["mesh_shape"] = tuple(int(x) for x in ns.mesh_shape.split(","))
     return MLAConfig(**kw).validate()

@@ -173,6 +173,34 @@ class CAVAdapter:
                 "boxes": np.asarray(box, np.float32),
                 "label": self.index.labels[i], "idx": i}
 
+    def batch_host(self, indices, rngs) -> Dict:
+        """Native batch path: fbank npys + middle-frame JPEGs via the C++
+        thread pool."""
+        from mla_tpu.data import native_loader as nl
+        if not nl.available():
+            samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
+            return {k: np.stack([np.asarray(s[k]) for s in samples])
+                    for k in samples[0]}
+        names = [self.index.names[i] for i in indices]
+        fbank = nl.load_npy_batch(
+            [os.path.join(self.index.dir("audio"), n + ".npy") for n in names],
+            (1024, 128))
+        paths = []
+        for n in names:
+            vdir = os.path.join(self.index.dir("visual"), n)
+            files = _frame_files(vdir)
+            paths.append(os.path.join(vdir, files[int(len(files) / 2)]))
+        imgs, hw = nl.decode_jpeg_batch(paths, (self.canon, self.canon))
+        boxes = np.zeros((len(names), 4), np.float32)
+        for i in range(len(names)):
+            oh, ow = max(int(hw[i, 0]), 1), max(int(hw[i, 1]), 1)
+            boxes[i] = T.scale_box(
+                im.resize_center_crop_box(oh, ow, self.out, self.out),
+                (oh, ow), self.canon)
+        return {"fbank": fbank, "image_u8": imgs, "boxes": boxes,
+                "label": np.asarray([self.index.labels[i] for i in indices]),
+                "idx": np.asarray(indices)}
+
     def finish_batch(self, host: Dict, key) -> Dict:
         k1, k2 = jax.random.split(key)
         image = T.image_batch_transform(
@@ -226,6 +254,39 @@ class M3AEAdapter:
                 "boxes": np.asarray(T.scale_box(box, hw, self.canon),
                                     np.float32),
                 "flip": flip, "label": self.index.labels[i], "idx": i}
+
+    def batch_host(self, indices, rngs) -> Dict:
+        """Native batch path: token/pm npys + JPEGs via the C++ thread pool;
+        crop geometry sampled per-sample (same RNG stream as sample_host)."""
+        from mla_tpu.data import native_loader as nl
+        if not nl.available() or type(self) is not M3AEAdapter:
+            samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
+            return {k: np.stack([np.asarray(s[k]) for s in samples])
+                    for k in samples[0]}
+        names = [self.index.names[i] for i in indices]
+        tdir = self.index.dir("text")
+        token = nl.load_npy_batch(
+            [os.path.join(tdir, n + "_token.npy") for n in names], (256,),
+            dtype=np.int32)
+        pm = nl.load_npy_batch(
+            [os.path.join(tdir, n + "_pm.npy") for n in names], (256,))
+        imgs, hw = nl.decode_jpeg_batch([self._image_path(n) for n in names],
+                                        (self.canon, self.canon))
+        b = len(names)
+        boxes = np.zeros((b, 4), np.float32)
+        flips = np.zeros((b,), bool)
+        for i, rng in enumerate(rngs):
+            oh, ow = max(int(hw[i, 0]), 1), max(int(hw[i, 1]), 1)
+            if self.mode == "train":
+                box = im.random_resized_crop_params(rng, oh, ow)
+                flips[i] = rng.random() < 0.5
+            else:
+                box = im.resize_center_crop_box(oh, ow, self.out, self.out)
+            boxes[i] = T.scale_box(box, (oh, ow), self.canon)
+        return {"token": token, "pm": pm, "image_u8": imgs, "boxes": boxes,
+                "flip": flips,
+                "label": np.asarray([self.index.labels[i] for i in indices]),
+                "idx": np.asarray(indices)}
 
     def finish_batch(self, host: Dict, key) -> Dict:
         image = T.image_batch_transform(

@@ -60,7 +60,7 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     np.random.seed(cfg.random_seed)          # setup_seed (utils.py:98-103);
     # JAX randomness is explicit PRNG-key threading — deterministic by design.
 
-    mesh = make_mesh()
+    mesh = make_mesh(mesh_shape=cfg.mesh_shape)
     model = build_classifier(cfg)
     train_adapter = build_adapter(cfg, "train")
     test_adapter = build_adapter(cfg, "test")
