@@ -91,12 +91,13 @@ class AVClassifier(nn.Module, _FusionMixin):
     qmf: bool = False
     dtype: Dtype = jnp.float32
     modal3: bool = False
+    remat: bool = False
 
     def setup(self):
         self.audio_net = ResNet18(modality="audio", dtype=self.dtype,
-                                  name="audio_net")
+                                  remat=self.remat, name="audio_net")
         self.visual_net = ResNet18(modality="visual", dtype=self.dtype,
-                                   name="visual_net")
+                                   remat=self.remat, name="visual_net")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
                                           self.n_classes, 2, self.dtype)
         if self.qmf:

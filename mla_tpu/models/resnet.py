@@ -63,6 +63,8 @@ class ResNet18(nn.Module):
     modality: str = "visual"  # 'audio' (1-ch stem) | 'visual' (3-ch stem)
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     dtype: Dtype = jnp.float32
+    remat: bool = False       # rematerialize blocks in backward (trade FLOPs
+                              # for activation HBM traffic)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -75,12 +77,14 @@ class ResNet18(nn.Module):
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
+            else BasicBlock
         for stage, n_blocks in enumerate(self.stage_sizes):
             filters = 64 * (2 ** stage)
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(filters, stride, dtype=self.dtype,
-                               name=f"layer{stage + 1}_{block}")(x, train)
+                x = block_cls(filters, stride, dtype=self.dtype,
+                              name=f"layer{stage + 1}_{block}")(x, train)
         return x
 
 
