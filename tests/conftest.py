@@ -8,6 +8,8 @@ var alone is not enough — jax.config.update is required.
 
 import os
 
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # torch OpenMP vs XLA threadpool
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -15,7 +15,25 @@ from mla_tpu.core.config import MLAConfig
 from mla_tpu.train import optim, steps
 from mla_tpu.train.state import TrainState, init_qmf_state
 
-torch = pytest.importorskip("torch")
+import importlib
+
+
+class _LazyTorch:
+    """Deferred torch import: loading torch at pytest collection time
+    (module-level importorskip) intermittently SIGABRTs the XLA:CPU runtime
+    later in the session (OpenMP/threadpool clash). First attribute access
+    imports it inside the owning test instead."""
+
+    _mod = None
+
+    def __getattr__(self, name):
+        if _LazyTorch._mod is None:
+            _LazyTorch._mod = importlib.import_module("torch")
+            _LazyTorch._mod.set_num_threads(1)
+        return getattr(_LazyTorch._mod, name)
+
+
+torch = _LazyTorch()
 
 B, D, C, NDATA = 6, 8, 4, 20
 

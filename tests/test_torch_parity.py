@@ -13,7 +13,25 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-torch = pytest.importorskip("torch")
+import importlib
+
+
+class _LazyTorch:
+    """Deferred torch import: loading torch at pytest collection time
+    (module-level importorskip) intermittently SIGABRTs the XLA:CPU runtime
+    later in the session (OpenMP/threadpool clash). First attribute access
+    imports it inside the owning test instead."""
+
+    _mod = None
+
+    def __getattr__(self, name):
+        if _LazyTorch._mod is None:
+            _LazyTorch._mod = importlib.import_module("torch")
+            _LazyTorch._mod.set_num_threads(1)
+        return getattr(_LazyTorch._mod, name)
+
+
+torch = _LazyTorch()
 sys.path.insert(0, "/root/reference")
 
 # the reference m3ae.py imports torchvision (absent here) at module level but
