@@ -116,15 +116,21 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
                      dq_ref, dk_ref, dv_ref, *, scale):
-    """Blockwise backward: recompute P for this q block (full K/V in VMEM),
-    then dV += P^T dO ; dS = P*(dO V^T - delta) ; dQ = dS K ; dK += dS^T Q.
-    Scores never touch HBM. dk/dv blocks are revisited across the q grid and
-    accumulated (init at qi == 0)."""
-    qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)            # (QB, D)
+    """One (batch, head) per grid point; at these sequence lengths (<=1k)
+    Q/K/V/dO and the (S, S) probability matrix all live in VMEM, so the whole
+    backward is five back-to-back MXU matmuls with no output revisiting.
+
+    STATUS: numerically correct (tested) but ~20x slower than XLA's fused
+    attention grad at S=513/D=64 on v5e (43 ms vs 2.3 ms, measured with serial
+    dependency chains) — both this and an earlier q-blocked accumulate variant;
+    the transposed-contraction dots ((0,0) dimension numbers for dk/dv) are the
+    prime suspects in the Mosaic lowering. Kept behind set_pallas_backward()
+    for long-sequence regimes + future tuning; the production VJP uses the XLA
+    backward (see _flash_mha_fwd)."""
+    q = q_ref[0, 0].astype(jnp.float32)            # (S, D)
     k = k_ref[0, 0].astype(jnp.float32)            # (S, D)
     v = v_ref[0, 0].astype(jnp.float32)            # (S, D)
-    do = do_ref[0, 0].astype(jnp.float32)          # (QB, D)
+    do = do_ref[0, 0].astype(jnp.float32)          # (S, D)
     mask = mask_ref[0]                             # (1, S)
 
     scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -132,31 +138,22 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
     scores = jnp.where(mask > 0, _NEG, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (QB, S)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (S, S)
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (QB, S)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)               # (QB, 1)
-    ds = p * (dp - delta)                                         # (QB, S)
+                             preferred_element_type=jnp.float32)  # (S, S)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)               # (S, 1)
+    ds = p * (dp - delta)                                         # (S, S)
     # masked positions have p == 0 -> ds == 0 already
 
     dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
                     * scale).astype(dq_ref.dtype)
-
-    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-    dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[0, 0] = dk_blk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_blk.astype(dv_ref.dtype)
-
-    @pl.when(qi != 0)
-    def _():
-        dk_ref[0, 0] = dk_ref[0, 0] + dk_blk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_ref[0, 0] + dv_blk.astype(dv_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -174,22 +171,19 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
         mp = mp.at[:, s:].set(1.0)
     mp = mp[:, None, :]
     sp = qp.shape[2]
-    nq = sp // _QBLOCK
 
-    qspec = pl.BlockSpec((1, 1, _QBLOCK, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, sp, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+    sspec = pl.BlockSpec((1, 1, sp, d), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
         out_shape=(jax.ShapeDtypeStruct(qp.shape, q.dtype),
                    jax.ShapeDtypeStruct(kp.shape, k.dtype),
                    jax.ShapeDtypeStruct(vp.shape, v.dtype)),
-        grid=(b, h, nq),
-        in_specs=[qspec, kspec, kspec, qspec,
-                  pl.BlockSpec((1, 1, sp), lambda bi, hi, qi: (bi, 0, 0),
+        grid=(b, h),
+        in_specs=[sspec, sspec, sspec, sspec,
+                  pl.BlockSpec((1, 1, sp), lambda bi, hi: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(qspec, kspec, kspec),
+        out_specs=(sspec, sspec, sspec),
         interpret=interpret,
     )(qp, kp, vp, dop, mp)
     return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :]
@@ -208,11 +202,8 @@ def _flash_mha_fwd(q, k, v, padding_mask):
     return attention_reference(q, k, v, padding_mask), (q, k, v, padding_mask)
 
 
-# Default backward: XLA recomputation. At these sequence lengths (<=640) XLA's
-# fused attention grad is ~28x faster than the blockwise Pallas backward above
-# (revisited-output accumulation serializes the grid; measured 1.5 ms vs 43 ms
-# at B2 H12 S513 D64 fwd+bwd on v5e). The Pallas backward is kept for long-
-# sequence regimes where O(S^2) HBM materialization would dominate; flip with
+# Default backward: XLA recomputation — ~20x faster than the Pallas backward
+# at these sequence lengths (see _attn_bwd_kernel docstring). Flip with
 # set_pallas_backward(True).
 _USE_PALLAS_BWD = False
 
