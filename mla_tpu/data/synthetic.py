@@ -40,8 +40,12 @@ def _write_lists(root, tag, names_labels):
 
 
 def make_cremad(root: str, n_train=8, n_test=4, seed=0,
-                spec_shape=(257, 626), fbank=False):
-    """CREMA-D tree for AVAdapter (spectrograms) or CAVAdapter (fbank=True)."""
+                spec_shape=(257, 626), fbank=False, learnable=False):
+    """CREMA-D tree for AVAdapter (spectrograms) or CAVAdapter (fbank=True).
+
+    learnable=True injects a class-dependent pattern into both modalities
+    (a band in the spectrogram, a colored stripe in the frames) so a real
+    training run can be asserted to converge."""
     rng = np.random.default_rng(seed)
     nl = {m: [(f"clip{m}{i:03d}", CREMAD_CLASSES[i % 6])
               for i in range(n_train if m == "train" else n_test)]
@@ -50,14 +54,25 @@ def make_cremad(root: str, n_train=8, n_test=4, seed=0,
     for mode in ("train", "test"):
         adir = os.path.join(root, f"audio/{mode}_fbank")
         os.makedirs(adir, exist_ok=True)
-        for name, _ in nl[mode]:
+        for name, label in nl[mode]:
             arr = rng.standard_normal((1024, 128) if fbank else spec_shape
                                       ).astype(np.float32)
+            cls = CREMAD_CLASSES.index(label)
+            if learnable:
+                band = arr.shape[0] // 6
+                arr[cls * band:(cls + 1) * band] += 4.0
             np.save(os.path.join(adir, name + ".npy"), arr)
             vdir = os.path.join(root, f"visual/{mode}_imgs/Image-01-FPS", name)
             os.makedirs(vdir, exist_ok=True)
             for k in range(4):
-                _write_jpg(os.path.join(vdir, f"0000{k}.jpg"), rng)
+                if learnable:
+                    import cv2
+                    img = rng.integers(0, 80, (48, 64, 3), dtype=np.uint8)
+                    stripe = 48 // 6
+                    img[cls * stripe:(cls + 1) * stripe] = 230
+                    cv2.imwrite(os.path.join(vdir, f"0000{k}.jpg"), img)
+                else:
+                    _write_jpg(os.path.join(vdir, f"0000{k}.jpg"), rng)
     return nl
 
 

@@ -1,0 +1,26 @@
+"""Slow opt-in convergence test (MLA_TPU_SLOW=1): the full driver learns a
+separable synthetic CREMA-D to high accuracy. Mirrors the TPU run recorded in
+BASELINE.md; on CPU it uses reduced resolution."""
+
+import os
+
+import pytest
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.data import synthetic
+from mla_tpu.runtime.driver import run
+
+
+@pytest.mark.skipif(os.environ.get("MLA_TPU_SLOW") != "1",
+                    reason="slow convergence test; set MLA_TPU_SLOW=1")
+def test_mla_converges_on_separable_data(tmp_path):
+    root = str(tmp_path)
+    synthetic.make_cremad(root, n_train=96, n_test=48, spec_shape=(64, 80),
+                          learnable=True, seed=1)
+    cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, dynamic=True,
+                    train=True, epochs=5, batch_size=32, data_root=root,
+                    learning_rate=5e-3, image_size=64,
+                    ckpt_path=str(tmp_path / "ck"), use_tensorboard=False,
+                    num_workers=2, log_every=100).validate()
+    _, result = run(cfg)
+    assert result["best_acc"] > 0.8, result["history"]
