@@ -101,6 +101,9 @@ class MLAConfig:
     num_workers: int = 8             # host-side loader threads
     mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
     log_every: int = 50
+    pretrained_a: Optional[str] = None  # per-encoder pretrained .pth paths;
+    pretrained_v: Optional[str] = None  # replaces the reference's hardcoded
+    pretrained_t: Optional[str] = None  # ckpts (basic_model.py:109-110,160-168)
     profile_dir: Optional[str] = None  # dump a jax.profiler trace of a few
                                        # training steps (SURVEY.md §5.1)
     image_size: Optional[int] = None  # override the per-dataset crop size
@@ -221,6 +224,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--image_size", default=None, type=int)
     p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--pretrained_a", default=None, type=str)
+    p.add_argument("--pretrained_v", default=None, type=str)
+    p.add_argument("--pretrained_t", default=None, type=str)
     p.add_argument("--mesh_shape", default=None, type=str,
                    help="comma-separated (data, model) mesh, e.g. '8,1'")
     return p

@@ -202,3 +202,46 @@ def load_torch_checkpoint(path: str, cfg) -> Tuple[Dict, Dict]:
     import torch
     sd = torch.load(path, map_location="cpu")
     return import_classifier(sd, cfg)
+
+
+ENCODER_KIND = {
+    # (lorb, modal3) -> {param-collection name: importer kind}
+    ("large", False): {"mae_a": "cav", "mae_v": "cav"},
+    ("m3ae", False): {"mae_a": "m3ae", "mae_v": "m3ae"},
+    ("m3ae", True): {"mae_a": "cav", "mae_v": "m3ae", "mae_t": "m3ae"},
+}
+
+
+def load_pretrained_encoders(cfg, params: Dict) -> Dict:
+    """Warm-load per-encoder pretrained .pth files (--pretrained_{a,v,t}) into
+    the param tree — the capability the reference hardcodes at
+    basic_model.py:109-110 (CAV-MAE) and 160-168,249-255 (M3AE), loaded with
+    strict=False; missing keys keep their fresh init here too."""
+    import torch
+    kinds = ENCODER_KIND.get((cfg.lorb, cfg.modal3))
+    if kinds is None:
+        return params
+    mapping = {"mae_a": cfg.pretrained_a, "mae_v": cfg.pretrained_v,
+               "mae_t": cfg.pretrained_t}
+    out = dict(params)
+    for net, path in mapping.items():
+        if not path or net not in kinds:
+            continue
+        sd = strip_module_prefix(torch.load(path, map_location="cpu"))
+        imported = import_cavmae(sd) if kinds[net] == "cav" else import_m3ae(sd)
+
+        def merge(dst, src, where=net):
+            dst = dict(dst)
+            for k, v in src.items():
+                if isinstance(v, dict):
+                    dst[k] = merge(dst.get(k, {}), v, f"{where}.{k}")
+                elif k in dst and tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                    print(f"  skip {where}.{k}: shape "
+                          f"{np.shape(v)} != {np.shape(dst[k])}")
+                else:
+                    dst[k] = v
+            return dst
+
+        out[net] = merge(out[net], imported)
+        print(f"Loaded pretrained {net} from {path}")
+    return out

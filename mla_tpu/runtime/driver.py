@@ -79,6 +79,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     # cav_opti lr groups need the param tree (main.py:739-746); state layout
     # is unchanged, only per-leaf lr scales are attached
     spec = optim.make_spec(cfg, state.params)
+    if cfg.pretrained_a or cfg.pretrained_v or cfg.pretrained_t:
+        from mla_tpu.models.torch_import import load_pretrained_encoders
+        state = state.replace(params=load_pretrained_encoders(cfg, state.params))
     if cfg.ckpt_load_path_train:
         state = state.replace(params=ckpt_lib.warm_start_params(
             cfg.ckpt_load_path_train, state.params))

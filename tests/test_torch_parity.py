@@ -216,3 +216,40 @@ class TestClassifierImport:
         variables = model.init(jax.random.key(0), batch, train=False)
         chex.assert_trees_all_equal_shapes(params, variables["params"])
         chex.assert_trees_all_equal_shapes(stats, variables["batch_stats"])
+
+
+class TestPretrainedEncoderLoad:
+    def test_load_pretrained_m3ae_encoder(self, tmp_path):
+        """--pretrained_a loads a bare M3AE state_dict into mae_a only."""
+        from ml_collections import ConfigDict
+        from models.m3ae import MaskedMultimodalAutoencoder
+        from mla_tpu.core.config import MLAConfig
+        from mla_tpu.models.classifiers import M3AEClassifier
+        from mla_tpu.models.torch_import import load_pretrained_encoders
+        torch.manual_seed(5)
+        ref = MaskedMultimodalAutoencoder(
+            text_vocab_size=1000,
+            config_updates=ConfigDict(dict(model_type="debug")))
+        path = str(tmp_path / "enc.pth")
+        torch.save(ref.state_dict(), path)
+
+        import jax, jax.numpy as jnp
+        model = M3AEClassifier(n_classes=3, gs_flag=True, model_type="debug")
+        batch = {"token": jnp.zeros((1, 8), jnp.int32),
+                 "padding_mask": jnp.zeros((1, 8)),
+                 "image": jnp.zeros((1, 3, 32, 32))}
+        params = model.init(jax.random.key(0), batch)["params"]
+        # debug config uses vocab 30522 here vs 1000 in file: text_embedding
+        # shape differs -> drop it to mimic partial pretrained files
+        cfg = MLAConfig(dataset="MVSA", lorb="m3ae", gs_flag=True,
+                        pretrained_a=path).validate()
+        new = load_pretrained_encoders(cfg, params)
+        np.testing.assert_allclose(
+            np.asarray(new["mae_a"]["image_kernel"]),
+            ref.image_embedding.weight.detach().numpy().T, atol=1e-6)
+        # untouched encoder keeps its init
+        np.testing.assert_allclose(
+            np.asarray(new["mae_v"]["image_kernel"]),
+            np.asarray(params["mae_v"]["image_kernel"]))
+        # vocab-size mismatch (1000 vs 30522) is skipped, not crashed on
+        assert np.asarray(new["mae_a"]["text_embedding"]).shape[0] == 30522
