@@ -105,14 +105,17 @@ class AVClassifier(nn.Module, _FusionMixin):
             self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
 
     def encode(self, batch, modality: str, train: bool = True):
+        valid = batch.get("valid") if train else None
         if modality == "a":
             spec = batch["spec"]                    # (B, 1, F, T)
             x = jnp.transpose(spec, (0, 2, 3, 1))   # NHWC
-            return pool_audio(self.audio_net(x, train))
+            return pool_audio(self.audio_net(x, train, valid))
         if modality == "v":
             image = batch["image"]                  # (B, 3, T, H, W)
-            b = image.shape[0]
-            return pool_visual(self.visual_net(fold_frames(image), train), b)
+            b, t = image.shape[0], image.shape[2]
+            fvalid = None if valid is None else jnp.repeat(valid, t)
+            return pool_visual(
+                self.visual_net(fold_frames(image), train, fvalid), b)
         raise ValueError(modality)
 
     def head(self, feat):

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mla_tpu.models.layers import kaiming_out
+from mla_tpu.models.norm import MaskedBatchNorm
 
 Dtype = Any
 
@@ -33,28 +34,27 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, valid=None):
+        bn = lambda name: MaskedBatchNorm(use_running_average=not train,
+                                          momentum=0.9, epsilon=1e-5,
+                                          dtype=self.dtype, name=name)
         needs_proj = self.stride != 1 or x.shape[-1] != self.filters
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     kernel_init=kaiming_out, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = bn("bn1")(y, valid)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
                     name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = bn("bn2")(y, valid)
         if needs_proj:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                kernel_init=kaiming_out, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype,
-                                    name="downsample_bn")(residual)
+            residual = bn("downsample_bn")(residual, valid)
         return nn.relu(y + residual)
 
 
@@ -67,14 +67,15 @@ class ResNet18(nn.Module):
                               # for activation HBM traffic)
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, valid=None):
         # x: NHWC. Audio: (B, F, T, 1); visual frames already folded to
-        # (B*T, H, W, 3) by the classifier.
+        # (B*T, H, W, 3) by the classifier (valid repeated per frame).
+        # `valid` masks padded batch rows out of the BN statistics.
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
                     name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = MaskedBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn1")(x, valid)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
@@ -84,7 +85,7 @@ class ResNet18(nn.Module):
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = block_cls(filters, stride, dtype=self.dtype,
-                              name=f"layer{stage + 1}_{block}")(x, train)
+                              name=f"layer{stage + 1}_{block}")(x, train, valid)
         return x
 
 
