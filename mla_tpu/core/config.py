@@ -101,6 +101,10 @@ class MLAConfig:
     num_workers: int = 8             # host-side loader threads
     mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
     log_every: int = 50
+    masked_bn: bool = False          # exact partial-batch BN statistics
+                                     # (MaskedBatchNorm); ~10% step-time cost,
+                                     # affects one batch per epoch — off by
+                                     # default (README parity note 6)
     pretrained_a: Optional[str] = None  # per-encoder pretrained .pth paths;
     pretrained_v: Optional[str] = None  # replaces the reference's hardcoded
     pretrained_t: Optional[str] = None  # ckpts (basic_model.py:109-110,160-168)
@@ -224,6 +228,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--image_size", default=None, type=int)
     p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--masked_bn", action="store_true")
     p.add_argument("--pretrained_a", default=None, type=str)
     p.add_argument("--pretrained_v", default=None, type=str)
     p.add_argument("--pretrained_t", default=None, type=str)

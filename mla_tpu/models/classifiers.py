@@ -92,6 +92,7 @@ class AVClassifier(nn.Module, _FusionMixin):
     dtype: Dtype = jnp.float32
     modal3: bool = False
     remat: bool = False
+    masked_bn: bool = False   # exact partial-batch BN stats (config.masked_bn)
 
     def setup(self):
         self.audio_net = ResNet18(modality="audio", dtype=self.dtype,
@@ -105,7 +106,7 @@ class AVClassifier(nn.Module, _FusionMixin):
             self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
 
     def encode(self, batch, modality: str, train: bool = True):
-        valid = batch.get("valid") if train else None
+        valid = batch.get("valid") if (train and self.masked_bn) else None
         if modality == "a":
             spec = batch["spec"]                    # (B, 1, F, T)
             x = jnp.transpose(spec, (0, 2, 3, 1))   # NHWC
@@ -312,7 +313,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         return M3AEClassifier(**kw)
     if cfg.clip:
         return CLIPClassifier(**kw)
-    return AVClassifier(**kw)
+    return AVClassifier(masked_bn=cfg.masked_bn, **kw)
 
 
 MODALITIES = {"AVClassifier": ("a", "v"), "CAVClassifier": ("a", "v"),

@@ -67,7 +67,8 @@ class TestMaskedBatchNorm:
 
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         train=True).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, masked_bn=True,
+                             dtype=jnp.float32)
         spec = optim.make_spec(cfg)
         state = create_train_state(model, cfg, full, spec)
         step_fn = steps.make_train_step(model, cfg, spec, len_dl=4)
