@@ -35,9 +35,16 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, valid=None):
-        bn = lambda name: MaskedBatchNorm(use_running_average=not train,
-                                          momentum=0.9, epsilon=1e-5,
-                                          dtype=self.dtype, name=name)
+        # static dispatch: plain flax BN (single-pass stats) unless a padding
+        # mask is present; both share param/stat names so the trees match
+        if valid is None:
+            bn = lambda name: (lambda y, _v: nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name)(y))
+        else:
+            bn = lambda name: MaskedBatchNorm(use_running_average=not train,
+                                              momentum=0.9, epsilon=1e-5,
+                                              dtype=self.dtype, name=name)
         needs_proj = self.stride != 1 or x.shape[-1] != self.filters
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
@@ -74,8 +81,13 @@ class ResNet18(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
                     name="conv1")(x)
-        x = MaskedBatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype, name="bn1")(x, valid)
+        if valid is None:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        else:
+            x = MaskedBatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name="bn1")(x, valid)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
