@@ -1,0 +1,100 @@
+"""Eval-path unit tests across regimes (valid() branches, main.py:486-679)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.evals.fusion_eval import fuse_outputs, per_sample_gating_weights
+from mla_tpu.evals.metrics import make_eval_step, summarize_counts, top1_accuracy
+from mla_tpu.models.classifiers import AVClassifier
+from mla_tpu.train import optim
+from mla_tpu.train.state import create_train_state
+
+
+def _batch(rng, b=8):
+    return {"spec": jnp.asarray(rng.standard_normal((b, 1, 64, 80)),
+                                jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 3, 32, 32)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 6, b), jnp.int32),
+            "idx": jnp.arange(b, dtype=jnp.int32),
+            "valid": jnp.ones((b,), jnp.float32)}
+
+
+def _counts(cfg, model, batch):
+    spec = optim.make_spec(cfg)
+    state = create_train_state(model, cfg, batch, spec, n_data=8)
+    ev = jax.jit(make_eval_step(model, cfg))
+    return ev(state.params, state.batch_stats, batch)
+
+
+class TestEvalBranches:
+    def test_qmf_eval_energy_weighting(self):
+        """QMF eval: fused = sum(out_m * logsumexp(out_m)/10) (main.py:544-586)."""
+        rng = np.random.default_rng(0)
+        cfg = MLAConfig(dataset="CREMAD", lorb="base",
+                        modulation="QMF").validate()
+        model = AVClassifier(n_classes=6, qmf=True, dtype=jnp.float32)
+        counts = _counts(cfg, model, _batch(rng))
+        s = summarize_counts(counts)
+        assert set(s) == {"acc", "acc_a", "acc_v"}
+        assert all(0.0 <= v <= 1.0 for v in s.values())
+
+    def test_joint_eval_sliced_modality_logits(self):
+        rng = np.random.default_rng(1)
+        cfg = MLAConfig(dataset="CREMAD", lorb="base").validate()
+        model = AVClassifier(n_classes=6, dtype=jnp.float32)
+        counts = _counts(cfg, model, _batch(rng))
+        assert float(jnp.sum(counts["num"])) == 8.0
+
+    def test_gs_fixed_alpha_eval(self):
+        rng = np.random.default_rng(2)
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        av_alpha=0.55).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        counts = _counts(cfg, model, _batch(rng))
+        assert float(jnp.sum(counts["num"])) == 8.0
+
+    def test_gs_dynamic_eval(self):
+        rng = np.random.default_rng(3)
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        dynamic=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        counts = _counts(cfg, model, _batch(rng))
+        assert np.isfinite(np.asarray(counts["acc"])).all()
+
+
+class TestFuseOutputs:
+    def test_fixed_alpha_3modal(self):
+        cfg = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True,
+                        a_alpha=0.35, v_alpha=0.25, t_alpha=0.4,
+                        gs_flag=True).validate()
+        outs = {m: jnp.full((4, 4), i + 1.0)
+                for i, m in enumerate("avt")}
+        fused = fuse_outputs(outs, jnp.ones((4,)), cfg)
+        # 0.35*1 + 0.25*2 + 0.4*3 = 2.05
+        np.testing.assert_allclose(np.asarray(fused), 2.05, atol=1e-6)
+
+    def test_fixed_alpha_2modal(self):
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        av_alpha=0.55).validate()
+        outs = {"a": jnp.ones((4, 6)), "v": jnp.ones((4, 6)) * 3}
+        fused = fuse_outputs(outs, jnp.ones((4,)), cfg)
+        np.testing.assert_allclose(np.asarray(fused), 0.55 + 0.45 * 3,
+                                   atol=1e-6)
+
+    def test_per_sample_gating_sums_to_one(self):
+        rng = np.random.default_rng(4)
+        outs = {m: jnp.asarray(rng.standard_normal((5, 3)).astype(np.float32))
+                for m in "av"}
+        ws = per_sample_gating_weights(outs)
+        total = sum(np.asarray(w) for w in ws.values())
+        np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+    def test_top1_accuracy(self):
+        logits = jnp.asarray([[2.0, 1.0], [0.0, 5.0], [9.0, 0.0]])
+        label = jnp.asarray([0, 1, 1])
+        assert float(top1_accuracy(logits, label)) == 2 / 3
+        assert float(top1_accuracy(logits, label,
+                                   jnp.asarray([1.0, 1.0, 0.0]))) == 1.0
