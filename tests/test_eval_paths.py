@@ -95,6 +95,6 @@ class TestFuseOutputs:
     def test_top1_accuracy(self):
         logits = jnp.asarray([[2.0, 1.0], [0.0, 5.0], [9.0, 0.0]])
         label = jnp.asarray([0, 1, 1])
-        assert float(top1_accuracy(logits, label)) == 2 / 3
+        assert abs(float(top1_accuracy(logits, label)) - 2 / 3) < 1e-6
         assert float(top1_accuracy(logits, label,
                                    jnp.asarray([1.0, 1.0, 0.0]))) == 1.0
