@@ -153,3 +153,21 @@ class TestCollate:
         assert out["x"].shape == (4, 3)
         np.testing.assert_allclose(out["valid"], [1, 1, 0, 0])
         assert list(out["idx"]) == [0, 1, 10, 10]
+
+
+class TestLoaderCleanup:
+    def test_abandoned_iterator_stops_producer(self, cremad_root):
+        """Taking one batch and abandoning the iterator must not leak the
+        producer thread / worker pool (regression: SIGABRT after many short
+        epochs)."""
+        import threading
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", image_size=64,
+                        data_root=cremad_root).validate()
+        ad = AVAdapter(cfg, "train")
+        before = threading.active_count()
+        for e in range(10):
+            it = Loader(ad, batch_size=4, shuffle=True, seed=e).epoch(e)
+            next(it)
+            it.close()   # GeneratorExit -> stop event -> join
+        after = threading.active_count()
+        assert after - before <= 1, (before, after)
