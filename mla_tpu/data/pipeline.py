@@ -67,39 +67,76 @@ class Loader:
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
 
+    def _row_window(self):
+        """This host's [lo, hi) row block of every global batch.
+
+        Single-process: the whole batch. Multi-host (jax.distributed): the
+        contiguous block owned by this process's devices (SURVEY §5.8), so
+        each host reads only 1/num_hosts of the files."""
+        if self.mesh is None or jax.process_count() == 1:
+            return 0, self.batch_size
+        from mla_tpu.parallel import distributed
+        from mla_tpu.parallel.mesh import batch_sharding
+        return distributed.host_row_block(self.batch_size,
+                                          batch_sharding(self.mesh))
+
     def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this host's row block of each padded global batch.
+
+        The permutation and per-sample RNG streams are keyed by (seed, epoch,
+        dataset index), so every host derives identical global batches and the
+        concatenation of all hosts' blocks bit-matches the single-host batch.
+        """
         order = np.arange(self.n)
         if self.shuffle:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
-        rngs = [np.random.default_rng((self.seed, epoch, int(i)))
-                for i in order]
+        lo, hi = self._row_window()
+        width = hi - lo
         batch_host = getattr(self.adapter, "batch_host", None)
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+        pool = None if batch_host is not None else \
+            cf.ThreadPoolExecutor(self.num_workers)
+        try:
             for start in range(0, self.n, self.batch_size):
                 chunk = order[start:start + self.batch_size]
-                chunk_rngs = rngs[start:start + self.batch_size]
+                n_global = len(chunk)
+                # real global-row positions owned by this host
+                idxs = [int(chunk[j]) for j in range(lo, min(hi, n_global))]
+                rngs = [np.random.default_rng((self.seed, epoch, i))
+                        for i in idxs]
+                n_real = len(idxs)
+                if n_real == 0:
+                    # shape template: load one row, zero it (host owns only
+                    # padding rows of a short final batch)
+                    idxs, rngs = [int(chunk[0])], \
+                        [np.random.default_rng((self.seed, epoch,
+                                                int(chunk[0])))]
                 if batch_host is not None:
                     # native (C++ thread pool) batch path: one call loads the
-                    # whole batch GIL-free into contiguous buffers
-                    hb = batch_host([int(i) for i in chunk], chunk_rngs)
-                    n = len(chunk)
-                    if n < self.batch_size:
-                        hb = {k: np.concatenate(
-                            [v, np.zeros((self.batch_size - n,) + v.shape[1:],
-                                         v.dtype)])
-                            for k, v in hb.items()}
-                    hb["valid"] = np.concatenate(
-                        [np.ones(n, np.float32),
-                         np.zeros(self.batch_size - n, np.float32)])
-                    if "idx" in hb:
-                        hb["idx"] = hb["idx"].astype(np.int32)
-                        hb["idx"][n:] = self.n
-                    yield hb
-                    continue
-                samples = list(pool.map(
-                    lambda t: self.adapter.sample_host(int(t[0]), t[1]),
-                    zip(chunk, chunk_rngs)))
-                yield collate_pad(samples, self.batch_size, self.n)
+                    # rows GIL-free into contiguous buffers
+                    hb = batch_host(idxs, rngs)
+                else:
+                    samples = list(pool.map(
+                        lambda t: self.adapter.sample_host(t[0], t[1]),
+                        zip(idxs, rngs)))
+                    hb = {k: np.stack([np.asarray(s[k]) for s in samples])
+                          for k in samples[0]}
+                if n_real == 0:
+                    hb = {k: np.zeros_like(v[:0]) for k, v in hb.items()}
+                if n_real < width:
+                    hb = {k: np.concatenate(
+                        [v, np.zeros((width - n_real,) + v.shape[1:],
+                                     v.dtype)])
+                        for k, v in hb.items()}
+                hb["valid"] = np.concatenate(
+                    [np.ones(n_real, np.float32),
+                     np.zeros(width - n_real, np.float32)])
+                if "idx" in hb:
+                    hb["idx"] = hb["idx"].astype(np.int32)
+                    hb["idx"][n_real:] = self.n
+                yield hb
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
         """Device-ready batches with background prefetch.
@@ -144,8 +181,13 @@ class Loader:
                         raise err[0]
                     return
                 if self.mesh is not None:
-                    sh = batch_sharding(self.mesh)
-                    hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
+                    if jax.process_count() > 1:
+                        from mla_tpu.parallel import distributed
+                        hb = distributed.make_global_batch(
+                            self.mesh, hb, self.batch_size)
+                    else:
+                        sh = batch_sharding(self.mesh)
+                        hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
                 key = jax.random.fold_in(self.key, epoch * 100003 + step)
                 yield self.adapter.finish_batch(hb, key)
                 step += 1

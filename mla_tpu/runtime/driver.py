@@ -52,7 +52,12 @@ def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
         counts = eval_step(state.params, state.batch_stats, batch)
         totals = counts if totals is None else \
             jax.tree_util.tree_map(jnp.add, totals, counts)
-    return summarize_counts(totals) if totals is not None else {}
+    if totals is None:
+        return {}
+    # wait for ALL shards (a replicated array's float() read only forces
+    # device 0); leaves no in-flight multi-device work behind
+    totals = jax.block_until_ready(totals)
+    return summarize_counts(totals)
 
 
 def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
@@ -60,6 +65,8 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     np.random.seed(cfg.random_seed)          # setup_seed (utils.py:98-103);
     # JAX randomness is explicit PRNG-key threading — deterministic by design.
 
+    from mla_tpu.parallel import distributed
+    distributed.initialize(cfg)              # no-op unless --dist_coordinator
     mesh = make_mesh(mesh_shape=cfg.mesh_shape)
     model = build_classifier(cfg)
     train_adapter = build_adapter(cfg, "train")
@@ -71,7 +78,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                          shuffle=False, seed=cfg.random_seed,
                          num_workers=cfg.num_workers)
 
-    sample = next(train_loader.epoch(0))
+    sample_gen = train_loader.epoch(0)
+    sample = next(sample_gen)
+    sample_gen.close()  # stop the prefetch producer deterministically
     spec = optim.make_spec(cfg)
     state = create_train_state(model, cfg, sample, spec,
                                n_data=len(train_adapter),
@@ -107,7 +116,7 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
-        return state, accs
+        return jax.block_until_ready(state), accs
 
     writer = _writer(cfg)
     best_acc = 0.0
@@ -166,6 +175,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                     "modulate_starts_{}_ends_{}_epoch_{}_acc_{}").format(
                 cfg.dataset, cfg.modulation, cfg.alpha, cfg.optimizer,
                 cfg.modulation_starts, cfg.modulation_ends, epoch, acc)
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                # multi-host: state is replicated; host 0 owns the write
+                continue
             path = ckpt_lib.save_checkpoint(
                 cfg.ckpt_path, state,
                 {"saved_epoch": epoch, "modulation": cfg.modulation,
@@ -179,4 +191,7 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                 epoch_metrics.get("loss", 0.0), acc, best_acc))
         print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(
             accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
-    return state, {"best_acc": best_acc, "history": history}
+    # quiesce: float() metric reads above only force device 0 of replicated
+    # arrays; wait for every shard so no multi-device execution outlives run()
+    return jax.block_until_ready(state), {"best_acc": best_acc,
+                                          "history": history}

@@ -42,7 +42,19 @@ class TrainState:
 
 def create_train_state(model, cfg, sample_batch, spec: OptimizerSpec,
                        n_data: int = 0, seed: int = 0) -> TrainState:
-    """Init params (same init laws as the reference — see models/) + state."""
+    """Init params (same init laws as the reference — see models/) + state.
+
+    The sample batch is pulled onto the default device first: flax init runs
+    EAGERLY (op by op), and eager ops on a mesh-sharded batch each dispatch an
+    independent multi-device collective program (BatchNorm stats -> one
+    all-reduce per op). Independent chains of such programs (audio/visual) can
+    exhaust XLA:CPU's execute-thread pool and deadlock each other's
+    rendezvous (observed: "Expected 8 threads to join ... only 7 arrived"
+    aborts). Single-device init dispatches no collectives at all; the driver
+    replicates the state onto the mesh afterwards.
+    """
+    sample_batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(jax.device_get(x)), sample_batch)
     variables = model.init(jax.random.key(seed), sample_batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -12,7 +12,17 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")  # torch OpenMP vs XLA threadpool
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in-process collectives CHECK-abort ("Termination timeout ... Exiting
+# to ensure a consistent program state", rendezvous.cc) if any of the 8 device
+# threads fails to reach an all-reduce within 40 s. On this 1-core VM a device
+# thread can be starved that long (LLVM compiles hog the core), which aborted
+# the suite intermittently; give genuine starvation room to resolve. (True
+# deadlock — eager collectives from independent chains exhausting the execute
+# pool — is fixed at the source: create_train_state inits single-device.)
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=300"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
