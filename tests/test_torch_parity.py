@@ -171,7 +171,86 @@ def _synthetic_cav_sd(rng, label_dim=6, img_size=32, audio_len=128, depth_ms=2,
     return sd
 
 
+def _ref_cav_forward_feat(sd, a, v, depth_ms, depth_u, num_heads=12):
+    """The reference CAVMAEFT.forward_feat (cav_mae.py:306-333) with the timm
+    0.4.5 Attention/Mlp math written inline (timm is absent in this image):
+    qkv linear -> (B,H,N,D) -> softmax((q k^T) * D^-0.5) v -> proj;
+    Mlp = fc1 -> exact GELU -> fc2; Block per-modality norms per
+    cav_mae.py:86-113. Everything reads straight from the torch state_dict."""
+    import torch.nn.functional as F
+
+    def ln(x, p):
+        return F.layer_norm(x, x.shape[-1:], sd[p + ".weight"], sd[p + ".bias"])
+
+    def attn(x, p):
+        B, N, C = x.shape
+        qkv = F.linear(x, sd[p + ".attn.qkv.weight"], sd[p + ".attn.qkv.bias"])
+        qkv = qkv.reshape(B, N, 3, num_heads, C // num_heads)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, vv = qkv[0], qkv[1], qkv[2]
+        w = (q @ k.transpose(-2, -1)) * (C // num_heads) ** -0.5
+        x = (w.softmax(dim=-1) @ vv).transpose(1, 2).reshape(B, N, C)
+        return F.linear(x, sd[p + ".attn.proj.weight"], sd[p + ".attn.proj.bias"])
+
+    def mlp(x, p):
+        h = F.gelu(F.linear(x, sd[p + ".mlp.fc1.weight"], sd[p + ".mlp.fc1.bias"]))
+        return F.linear(h, sd[p + ".mlp.fc2.weight"], sd[p + ".mlp.fc2.bias"])
+
+    def block(x, p, modality=None):
+        sfx = "" if modality is None else "_" + modality
+        x = x + attn(ln(x, f"{p}.norm1{sfx}"), p)
+        x = x + mlp(ln(x, f"{p}.norm2{sfx}"), p)
+        return x
+
+    # audio (B, T, 128) -> (B, 1, 128, T) -> patch conv (cav_mae.py:309-313)
+    a = a.unsqueeze(1).transpose(2, 3)
+    a = F.conv2d(a, sd["patch_embed_a.proj.weight"],
+                 sd["patch_embed_a.proj.bias"], stride=16)
+    a = a.flatten(2).transpose(1, 2)
+    a = a + sd["pos_embed_a"] + sd["modality_a"]
+    v = F.conv2d(v, sd["patch_embed_v.proj.weight"],
+                 sd["patch_embed_v.proj.bias"], stride=16)
+    v = v.flatten(2).transpose(1, 2)
+    v = v + sd["pos_embed_v"] + sd["modality_v"]
+    for i in range(depth_ms):
+        a = block(a, f"blocks_a.{i}")
+    for i in range(depth_ms):
+        v = block(v, f"blocks_v.{i}")
+    for i in range(depth_u):
+        a = block(a, f"blocks_u.{i}", "a")
+    a = ln(a, "norm_a")
+    for i in range(depth_u):
+        v = block(v, f"blocks_u.{i}", "v")
+    v = ln(v, "norm_v")
+    return a, v
+
+
 class TestCAVMAEImport:
+    def test_numerical_golden_vs_torch(self):
+        """CAV-MAE forward_feat matches the torch math to <=3e-4 (VERDICT r1
+        missing #3): same state_dict through the import shim vs inline timm."""
+        torch.manual_seed(6)  # force the lazy torch import first
+        rng = np.random.default_rng(6)
+        sd = _synthetic_cav_sd(rng)
+        xa = rng.standard_normal((2, 128, 128)).astype(np.float32)
+        xv = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ra, rv = _ref_cav_forward_feat(
+                sd, torch.tensor(xa), torch.tensor(xv), depth_ms=2, depth_u=1)
+
+        params = ti.import_cavmae(sd)
+        model = CAVMAEFT(label_dim=6, img_size=32, audio_length=128,
+                         modality_specific_depth=2, depth=3)
+        fa, fv = model.apply({"params": params}, jnp.asarray(xa),
+                             jnp.asarray(xv), method=model.forward_feat,
+                             mode="av")
+        np.testing.assert_allclose(np.asarray(fa), ra.numpy(), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(fv), rv.numpy(), atol=3e-4)
+        # single-modality modes share the same per-modality-norm path
+        fa1 = model.apply({"params": params}, jnp.asarray(xa), None,
+                          method=model.forward_feat, mode="a")
+        np.testing.assert_allclose(np.asarray(fa1), ra.numpy(), atol=3e-4)
+
     def test_structure_and_forward(self):
         rng = np.random.default_rng(3)
         sd = _synthetic_cav_sd(rng)
