@@ -98,3 +98,21 @@ class TestFuseOutputs:
         assert abs(float(top1_accuracy(logits, label)) - 2 / 3) < 1e-6
         assert float(top1_accuracy(logits, label,
                                    jnp.asarray([1.0, 1.0, 0.0]))) == 1.0
+
+
+def test_ewc_flag_inert():
+    """--ewc_flag is accepted but changes nothing (PARITY.md divergence #1).
+
+    The reference never defines it (its eval-only branch AttributeErrors as
+    shipped) and, if patched in, misbinds it into valid()'s gs_flag positional
+    (main.py:957-963 vs main.py:486-488). We keep documented gs semantics."""
+    rng = np.random.default_rng(7)
+    batch = _batch(rng)
+    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+    base = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                     av_alpha=0.55)
+    c0 = _counts(base.validate(), model, batch)
+    c1 = _counts(base.replace(ewc_flag=True).validate(), model, batch)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), c0, c1)
