@@ -16,6 +16,7 @@ field.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -109,7 +110,7 @@ def bench_torch_reference(steps=2):
             self.visual_net = resnet18(modality="visual")
             self.head = nn.Linear(512, 6)
 
-    torch.set_num_threads(8)
+    torch.set_num_threads(os.cpu_count() or 1)
     net = Net()
     crit = nn.CrossEntropyLoss()
     opt = torch.optim.SGD(net.parameters(), lr=1e-3, momentum=0.9,
@@ -152,7 +153,8 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "note": ("baseline = PyTorch reference ResNet-18 MLA batch-step on this "
-                 "host CPU (8 threads; no CUDA in image); step_time_s="
+                 f"host CPU ({os.cpu_count()} core(s); no CUDA in image — NOT "
+                 "the reference's GPU envelope, see BASELINE.md); step_time_s="
                  f"{step_time:.4f}" + (f"; baseline_err={err}" if err else "")),
     }))
 

@@ -77,7 +77,7 @@ def make_cremad(root: str, n_train=8, n_test=4, seed=0,
 
 
 def make_m3ae(root: str, dataset="MVSA", n_train=8, n_test=4, seed=0,
-              token_len=256):
+              token_len=256, img_hw=(48, 64)):
     rng = np.random.default_rng(seed)
     classes = MVSA_CLASSES if dataset == "MVSA" else \
         [f"class_{i:03d}" for i in range(8)]
@@ -92,7 +92,7 @@ def make_m3ae(root: str, dataset="MVSA", n_train=8, n_test=4, seed=0,
         os.makedirs(vdir, exist_ok=True)
         os.makedirs(tdir, exist_ok=True)
         for name, _ in nl[mode]:
-            _write_jpg(os.path.join(vdir, name + ".jpg"), rng)
+            _write_jpg(os.path.join(vdir, name + ".jpg"), rng, hw=img_hw)
             tok = rng.integers(0, 30522, (1, token_len)).astype(np.int64)
             pm = np.zeros((1, token_len), np.float32)
             pm[0, token_len // 2:] = 1.0
