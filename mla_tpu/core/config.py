@@ -114,6 +114,14 @@ class MLAConfig:
                                       # (224 base/large, 256 m3ae); used by
                                       # tests/CI for reduced-resolution runs
 
+    # --- multi-host distributed data parallelism (SURVEY §5.8) ---
+    # One process per TPU host. dist_coordinator ("host0:port") enables
+    # jax.distributed.initialize(); the mesh then spans all hosts' chips and
+    # each host loads only its rows of every global batch.
+    dist_coordinator: Optional[str] = None
+    dist_num_processes: int = 1
+    dist_process_id: int = 0
+
     # ------------------------------------------------------------------
     @property
     def n_classes(self) -> int:
@@ -234,6 +242,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_t", default=None, type=str)
     p.add_argument("--mesh_shape", default=None, type=str,
                    help="comma-separated (data, model) mesh, e.g. '8,1'")
+    p.add_argument("--dist_coordinator", default=None, type=str,
+                   help="coordinator host:port; enables multi-host DP via "
+                        "jax.distributed.initialize()")
+    p.add_argument("--dist_num_processes", default=d.dist_num_processes,
+                   type=int)
+    p.add_argument("--dist_process_id", default=d.dist_process_id, type=int)
     return p
 
 

@@ -54,7 +54,9 @@ def host_decode(path: str, canon: int) -> Tuple[np.ndarray, Tuple[int, int]]:
 # ColorJitter(0.4, 0.4, 0.4) applied in random order — dataset.py:401-412)
 # ---------------------------------------------------------------------------
 
-_GRAY = jnp.asarray([0.299, 0.587, 0.114])
+# numpy on purpose: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() ordering
+_GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _jitter_one(key, x):

@@ -55,7 +55,15 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated (params, optimizer state, Pl)."""
+    """Device-put a pytree fully replicated (params, optimizer state, Pl).
+
+    Multi-host: every process holds an identical host-local copy (init is
+    seeded identically), promoted to a global replicated array — device_put
+    can't target non-addressable devices directly."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P())
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 

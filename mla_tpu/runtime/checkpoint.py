@@ -22,7 +22,22 @@ import orbax.checkpoint as ocp
 from mla_tpu.train.state import TrainState
 
 
+def _localize(x):
+    """Host-local view of a (replicated) global array with NO program dispatch.
+
+    Under multi-host DP the state is fully replicated; reading a local shard
+    is a pure D2H copy. Dispatching any computation here (even key_data) risks
+    creating new cross-host collective cliques at checkpoint time, which hangs
+    if peer processes have already moved on or exited."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if not x.is_fully_replicated:
+            raise ValueError("checkpoint state leaves must be replicated")
+        return x.addressable_shards[0].data
+    return x
+
+
 def _to_saveable(state: TrainState) -> Dict[str, Any]:
+    state = jax.tree_util.tree_map(_localize, state)
     # typed PRNG keys are not serializable; store raw key data
     d = {"params": state.params, "batch_stats": state.batch_stats,
          "opt_state": state.opt_state,
@@ -39,10 +54,16 @@ def _to_saveable(state: TrainState) -> Dict[str, Any]:
 def save_checkpoint(ckpt_dir: str, state: TrainState, meta: Dict[str, Any],
                     name: str = "best") -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, name))
+    # multi-host: EVERY process must call ocp.save — it contains a
+    # sync_global_processes barrier (orbax writes from the primary process
+    # only; ckpt_dir should be shared storage at real scale). Skipping it on
+    # non-primary hosts deadlocks the barrier ("GetKeyValue() timed out").
+    saveable = _to_saveable(state)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, _to_saveable(state), force=True)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f)
+    ckptr.save(path, saveable, force=True)
+    if jax.process_index() == 0:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
     return path
 
 

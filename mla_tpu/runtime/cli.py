@@ -10,11 +10,15 @@ from __future__ import annotations
 import sys
 
 from mla_tpu.core.config import config_from_args
-from mla_tpu.runtime.driver import run
 
 
 def main(argv=None):
     cfg = config_from_args(argv)
+    # multi-host: must run before anything can touch the XLA backend, so the
+    # driver import (whose transitive imports may compile) comes after
+    from mla_tpu.parallel import distributed
+    distributed.initialize(cfg)
+    from mla_tpu.runtime.driver import run
     # main.py:968: the driver overrides av_alpha to 0.55 for 2-modal training
     if "--av_alpha" not in (argv or sys.argv):
         cfg = cfg.replace(av_alpha=0.55)

@@ -114,6 +114,8 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                                   batch_stats=stats or state.batch_stats)
         else:
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
+        # restored leaves are host-local; promote back onto the global mesh
+        state = replicate(mesh, state)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
         return jax.block_until_ready(state), accs
@@ -175,9 +177,6 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                     "modulate_starts_{}_ends_{}_epoch_{}_acc_{}").format(
                 cfg.dataset, cfg.modulation, cfg.alpha, cfg.optimizer,
                 cfg.modulation_starts, cfg.modulation_ends, epoch, acc)
-            if jax.process_count() > 1 and jax.process_index() != 0:
-                # multi-host: state is replicated; host 0 owns the write
-                continue
             path = ckpt_lib.save_checkpoint(
                 cfg.ckpt_path, state,
                 {"saved_epoch": epoch, "modulation": cfg.modulation,

@@ -44,17 +44,19 @@ def create_train_state(model, cfg, sample_batch, spec: OptimizerSpec,
                        n_data: int = 0, seed: int = 0) -> TrainState:
     """Init params (same init laws as the reference — see models/) + state.
 
-    The sample batch is pulled onto the default device first: flax init runs
-    EAGERLY (op by op), and eager ops on a mesh-sharded batch each dispatch an
-    independent multi-device collective program (BatchNorm stats -> one
-    all-reduce per op). Independent chains of such programs (audio/visual) can
-    exhaust XLA:CPU's execute-thread pool and deadlock each other's
-    rendezvous (observed: "Expected 8 threads to join ... only 7 arrived"
-    aborts). Single-device init dispatches no collectives at all; the driver
-    replicates the state onto the mesh afterwards.
+    Init uses only the SHAPES of the sample batch: flax skips running-stat
+    updates while initializing (is_initializing), so sample values never reach
+    any variable. Zeros on the default device avoid two real failure modes of
+    initializing on the mesh-sharded batch itself: (1) flax init runs eagerly,
+    and eager ops on a sharded batch each dispatch an independent multi-device
+    collective program (BatchNorm stats -> one all-reduce per op) — independent
+    audio/visual chains can exhaust XLA:CPU's execute-thread pool and deadlock
+    the rendezvous ("Expected 8 threads to join ... only 7 arrived" aborts);
+    (2) under multi-host DP the global batch isn't process-addressable at all.
+    The driver replicates the returned state onto the mesh afterwards.
     """
     sample_batch = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(jax.device_get(x)), sample_batch)
+        lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), sample_batch)
     variables = model.init(jax.random.key(seed), sample_batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

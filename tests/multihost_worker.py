@@ -1,0 +1,94 @@
+"""Subprocess worker for the multi-host DP test (not collected by pytest).
+
+Runs one MLA train step on a synthetic CREMA-D fixture over a mesh that spans
+all processes, then writes digests (batch bytes hash, params checksum) for the
+parent to compare across topologies.
+
+argv: out_path data_root n_procs proc_id coordinator(port or '-')
+Env (set by the parent): JAX_PLATFORMS=cpu,
+  XLA_FLAGS=--xla_force_host_platform_device_count=<local_devices>
+"""
+
+import hashlib
+import json
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    out_path, data_root, n_procs, proc_id, coord = sys.argv[1:6]
+    n_procs, proc_id = int(n_procs), int(proc_id)
+
+    from mla_tpu.core.config import MLAConfig
+    from mla_tpu.parallel import distributed
+
+    cfg = MLAConfig(
+        dataset="CREMAD", lorb="base", gs_flag=True, train=True,
+        image_size=32, batch_size=4, data_root=data_root, num_workers=2,
+        use_tensorboard=False,
+        dist_coordinator=None if coord == "-" else f"127.0.0.1:{coord}",
+        dist_num_processes=n_procs, dist_process_id=proc_id).validate()
+    distributed.initialize(cfg)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mla_tpu.data.datasets import build_adapter
+    from mla_tpu.data.pipeline import Loader
+    from mla_tpu.models.classifiers import AVClassifier
+    from mla_tpu.parallel.mesh import make_mesh, replicate
+    from mla_tpu.train import optim, steps
+    from mla_tpu.train.state import create_train_state
+
+    assert len(jax.devices()) == 4, jax.devices()
+    mesh = make_mesh()
+    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+    adapter = build_adapter(cfg, "train")
+    loader = Loader(adapter, cfg.batch_size, mesh=mesh, shuffle=True,
+                    seed=cfg.random_seed, num_workers=2)
+    gen = loader.epoch(0)
+    batch = next(gen)
+    gen.close()
+
+    # the global batch must be identical whatever the host topology
+    from jax.experimental import multihost_utils
+    if n_procs > 1:
+        host_batch = {k: np.asarray(multihost_utils.process_allgather(
+            v, tiled=True)) for k, v in batch.items()}
+    else:
+        host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    batch_digest = hashlib.sha256()
+    for k in sorted(host_batch):
+        batch_digest.update(np.ascontiguousarray(host_batch[k]).tobytes())
+
+    spec = optim.make_spec(cfg)
+    state = create_train_state(model, cfg, batch, spec,
+                               n_data=len(adapter), seed=cfg.random_seed)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    state = replicate(mesh, state)
+    step = jax.jit(steps.make_mla_train_step(model, cfg, spec,
+                                             len_dl=len(loader)),
+                   in_shardings=(repl, shard, None, None), donate_argnums=0)
+    new_state, metrics = step(state, batch, jnp.float32(1e-3), jnp.int32(0))
+    jax.block_until_ready(new_state)
+
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    checksum = float(sum(
+        np.abs(np.asarray(l.addressable_shards[0].data)).sum()
+        for l in leaves))
+    first_kernel = np.asarray(
+        new_state.params["fusion_module"]["fc_out"]["kernel"]
+        .addressable_shards[0].data)
+    with open(out_path, "w") as f:
+        json.dump({"batch_sha": batch_digest.hexdigest(),
+                   "loss": float(metrics["loss"]),
+                   "params_checksum": checksum,
+                   "head_kernel": first_kernel.ravel()[:16].tolist()}, f)
+    print("worker", proc_id, "ok")
+
+
+if __name__ == "__main__":
+    main()
