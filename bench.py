@@ -65,7 +65,8 @@ def bench_tpu(steps=20):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def full_step(state, frames_u8, boxes, flips, spec, label, key, lr, bi):
-        image = T.av_frames_transform(frames_u8, boxes, flips, key, out=IMG)
+        image = T.av_frames_transform(frames_u8, boxes, flips, key, out=IMG,
+                                      out_dtype=jnp.bfloat16)
         batch = {"spec": spec, "image": image, "label": label,
                  "idx": jnp.arange(BATCH, dtype=jnp.int32),
                  "valid": jnp.ones((BATCH,), jnp.float32)}
@@ -155,7 +156,9 @@ def main():
         "note": ("baseline = PyTorch reference ResNet-18 MLA batch-step on this "
                  f"host CPU ({os.cpu_count()} core(s); no CUDA in image — NOT "
                  "the reference's GPU envelope, see BASELINE.md); step_time_s="
-                 f"{step_time:.4f}" + (f"; baseline_err={err}" if err else "")),
+                 f"{step_time:.4f}; batch=64 (reference parity; batch 128 "
+                 "measures 1272 clips/s — BASELINE.md roofline section)"
+                 + (f"; baseline_err={err}" if err else "")),
     }))
 
 

@@ -24,6 +24,13 @@ from mla_tpu.data.masking import qmf_mask_set, random_mask
 from mla_tpu.ops import image as im
 
 
+def _image_dtype(cfg) -> "jnp.dtype":
+    """Emit images in the model compute dtype: the flax convs cast to it
+    anyway, so this halves the transform's HBM write with identical
+    results (see transforms.image_batch_transform)."""
+    return jnp.dtype(cfg.compute_dtype)
+
+
 def _frame_files(dir_path: str) -> List[str]:
     # reference uses os.listdir order (FS-dependent); sorted for determinism
     return sorted(os.listdir(dir_path))
@@ -133,7 +140,8 @@ class AVAdapter:
         image = T.av_frames_transform(jnp.asarray(host["frames"]),
                                       jnp.asarray(host["boxes"]),
                                       jnp.asarray(host["flip"]), key,
-                                      out=self.out)
+                                      out=self.out,
+                                      out_dtype=_image_dtype(self.cfg))
         return {"spec": jnp.asarray(host["spec"])[:, None],  # (B,1,F,T)
                 "image": image,
                 "label": jnp.asarray(host["label"], jnp.int32),
@@ -207,7 +215,8 @@ class CAVAdapter:
             jnp.asarray(host["image_u8"]), jnp.asarray(host["boxes"]),
             jnp.zeros(host["image_u8"].shape[0], bool), k1,
             jnp.asarray(im.CAV_MEAN), jnp.asarray(im.CAV_STD),
-            out=self.out, method="cubic")
+            out=self.out, method="cubic",
+            out_dtype=_image_dtype(self.cfg))
         fbank = T.cav_fbank_transform(jnp.asarray(host["fbank"]), k2,
                                       self.mode == "train",
                                       self.cfg.cav_augnois)
@@ -293,7 +302,8 @@ class M3AEAdapter:
             jnp.asarray(host["image_u8"]), jnp.asarray(host["boxes"]),
             jnp.asarray(host["flip"]), key,
             jnp.asarray(im.IMAGENET_MEAN), jnp.asarray(im.IMAGENET_STD),
-            out=self.out, method="cubic", jitter=self.mode == "train")
+            out=self.out, method="cubic", jitter=self.mode == "train",
+            out_dtype=_image_dtype(self.cfg))
         return {"token": jnp.asarray(host["token"], jnp.int32),
                 "padding_mask": jnp.asarray(host["pm"], jnp.float32),
                 "image": image,
@@ -334,7 +344,8 @@ class TVAdapter(M3AEAdapter):
         image = T.av_frames_transform(jnp.asarray(host["frames"]),
                                       jnp.asarray(host["boxes"]),
                                       jnp.asarray(host["flip"]), key,
-                                      out=self.out)
+                                      out=self.out,
+                                      out_dtype=_image_dtype(self.cfg))
         return {"token": jnp.asarray(host["token"], jnp.int32),
                 "padding_mask": jnp.asarray(host["pm"], jnp.float32),
                 "image": image,

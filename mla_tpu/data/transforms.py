@@ -94,11 +94,16 @@ def color_jitter_batch(key, x):
 # fused batch transforms
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out", "method", "jitter"))
+@functools.partial(jax.jit,
+                   static_argnames=("out", "method", "jitter", "out_dtype"))
 def image_batch_transform(images_u8, boxes, flip, key, mean, std,
                           out: int = 224, method: str = "linear",
-                          jitter: bool = False):
-    """(B, C?, H, W, 3) or (B, H, W, 3) uint8 -> normalized NCHW float."""
+                          jitter: bool = False, out_dtype=None):
+    """(B, C?, H, W, 3) or (B, H, W, 3) uint8 -> normalized NCHW float.
+
+    out_dtype: emitting bf16 halves the biggest HBM write of the input path
+    (the flax convs cast to their compute dtype anyway, so results are
+    bit-identical when out_dtype == the model compute dtype)."""
     x = images_u8.astype(jnp.float32) / 255.0
     crops = jax.vmap(lambda a, b: im._crop_resize_one(a, b, (out, out), method)
                      )(x, boxes)
@@ -107,10 +112,12 @@ def image_batch_transform(images_u8, boxes, flip, key, mean, std,
         crops = color_jitter_batch(key, crops)
     crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
     crops = (crops - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
+    if out_dtype is not None:
+        crops = crops.astype(out_dtype)
     return jnp.transpose(crops, (0, 3, 1, 2))
 
 
-def av_frames_transform(frames_u8, boxes, flip, key, out=224):
+def av_frames_transform(frames_u8, boxes, flip, key, out=224, out_dtype=None):
     """AVDataset 3-frame stack: (B, T, H, W, 3) with per-frame independent
     crops (dataset.py:142-155) -> (B, 3, T, out, out)."""
     b, t = frames_u8.shape[:2]
@@ -118,7 +125,8 @@ def av_frames_transform(frames_u8, boxes, flip, key, out=224):
     x = image_batch_transform(flat, boxes.reshape(b * t, 4),
                               flip.reshape(b * t), key,
                               jnp.asarray(im.IMAGENET_MEAN),
-                              jnp.asarray(im.IMAGENET_STD), out=out)
+                              jnp.asarray(im.IMAGENET_STD), out=out,
+                              out_dtype=out_dtype)
     x = x.reshape(b, t, 3, out, out)
     return jnp.transpose(x, (0, 2, 1, 3, 4))   # (B, C, T, H, W)
 
