@@ -120,13 +120,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
     Q/K/V/dO and the (S, S) probability matrix all live in VMEM, so the whole
     backward is five back-to-back MXU matmuls with no output revisiting.
 
-    STATUS: numerically correct (tested) but ~20x slower than XLA's fused
-    attention grad at S=513/D=64 on v5e (43 ms vs 2.3 ms, measured with serial
-    dependency chains) — both this and an earlier q-blocked accumulate variant;
-    the transposed-contraction dots ((0,0) dimension numbers for dk/dv) are the
-    prime suspects in the Mosaic lowering. Kept behind set_pallas_backward()
-    for long-sequence regimes + future tuning; the production VJP uses the XLA
-    backward (see _flash_mha_fwd)."""
+    STATUS (round-2 remeasure, benchmarks/bwd_tune.py): numerically correct
+    and ~1.0x XLA's fused grad at S=513/D=64 on v5e (0.75-0.9 ms vs
+    0.75-1.1 ms over repeated 50-iter serial chains; in-kernel transposes and
+    D-padding-to-128 variants measure the same within relay noise, so the
+    plain (0,0)-contraction form is kept). Round 1's "20x slower" was a
+    measurement artifact. End-to-end the hybrid XLA VJP still wins the m3ae
+    train step by ~5% (248 vs 262 ms, benchmarks/bwd_ab.py ABA), so XLA stays
+    the default backward; flip with set_pallas_backward(True) for
+    long-sequence regimes where recompute dominates."""
     q = q_ref[0, 0].astype(jnp.float32)            # (S, D)
     k = k_ref[0, 0].astype(jnp.float32)            # (S, D)
     v = v_ref[0, 0].astype(jnp.float32)            # (S, D)
@@ -195,16 +197,25 @@ def _flash_mha(q, k, v, padding_mask):
 
 
 def _flash_mha_fwd(q, k, v, padding_mask):
-    # When differentiated, use the XLA forward: the backward below recomputes
-    # the same XLA attention, and XLA CSEs the two — measured 18% faster m3ae
-    # train step than pallas-fwd + recompute-bwd. The undifferentiated primal
-    # path (inference) still runs the fused Pallas kernel via _flash_mha.
-    return attention_reference(q, k, v, padding_mask), (q, k, v, padding_mask)
+    # Differentiated-path forward. With the XLA backward (default), use the
+    # XLA forward: the backward recomputes the same XLA attention and XLA CSEs
+    # the two — measured 18% faster m3ae train step than pallas-fwd +
+    # recompute-bwd (round 1). With the Pallas backward enabled, run the
+    # Pallas forward too (no recompute to CSE against). The undifferentiated
+    # primal path (inference) always runs the fused Pallas kernel.
+    if _USE_PALLAS_BWD:
+        out = flash_attention(q, k, v, padding_mask)
+    else:
+        out = attention_reference(q, k, v, padding_mask)
+    return out, (q, k, v, padding_mask)
 
 
-# Default backward: XLA recomputation — ~20x faster than the Pallas backward
-# at these sequence lengths (see _attn_bwd_kernel docstring). Flip with
-# set_pallas_backward(True).
+# Backward selection. Round-1 measured the Pallas backward ~20x slower than
+# XLA's fused grad at S=513/D=64; round-2 remeasurement (benchmarks/
+# bwd_tune.py, 50-iter serial chains, repeated) shows it at ~1.0x XLA
+# (0.75-0.9 ms vs 0.75-1.1 ms) — the old number was an artifact. Both paths
+# are production-viable; XLA stays default because it is never slower in the
+# end-to-end m3ae step (see BASELINE.md round-2 notes).
 _USE_PALLAS_BWD = False
 
 
