@@ -113,6 +113,12 @@ class MLAConfig:
     image_size: Optional[int] = None  # override the per-dataset crop size
                                       # (224 base/large, 256 m3ae); used by
                                       # tests/CI for reduced-resolution runs
+    resnet_stages: Tuple[int, ...] = (2, 2, 2, 2)
+                                      # blocks per ResNet stage for the `base`
+                                      # backbones (reference parity: ResNet-18
+                                      # = 2,2,2,2 — backbone.py:110). 1,1,1,1
+                                      # gives a ResNet-10 (same 512-d feature)
+                                      # for reduced-depth CI/deployments.
 
     # --- multi-host distributed data parallelism (SURVEY §5.8) ---
     # One process per TPU host. dist_coordinator ("host0:port") enables
@@ -242,6 +248,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_t", default=None, type=str)
     p.add_argument("--mesh_shape", default=None, type=str,
                    help="comma-separated (data, model) mesh, e.g. '8,1'")
+    p.add_argument("--resnet_stages", default=None, type=str,
+                   help="comma-separated blocks per ResNet stage "
+                        "(default 2,2,2,2 = ResNet-18)")
     p.add_argument("--dist_coordinator", default=None, type=str,
                    help="coordinator host:port; enables multi-host DP via "
                         "jax.distributed.initialize()")
@@ -258,4 +267,9 @@ def config_from_args(argv=None) -> MLAConfig:
     kw["ghost_updates"] = not ns.no_ghost_updates
     if ns.mesh_shape:
         kw["mesh_shape"] = tuple(int(x) for x in ns.mesh_shape.split(","))
+    if ns.resnet_stages:
+        kw["resnet_stages"] = tuple(
+            int(x) for x in ns.resnet_stages.split(","))
+    else:
+        kw.pop("resnet_stages", None)
     return MLAConfig(**kw).validate()

@@ -22,7 +22,7 @@ head when gs_flag, concat width otherwise.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -93,11 +93,14 @@ class AVClassifier(nn.Module, _FusionMixin):
     modal3: bool = False
     remat: bool = False
     masked_bn: bool = False   # exact partial-batch BN stats (config.masked_bn)
+    stages: Sequence[int] = (2, 2, 2, 2)  # config.resnet_stages
 
     def setup(self):
         self.audio_net = ResNet18(modality="audio", dtype=self.dtype,
+                                  stage_sizes=tuple(self.stages),
                                   remat=self.remat, name="audio_net")
         self.visual_net = ResNet18(modality="visual", dtype=self.dtype,
+                                   stage_sizes=tuple(self.stages),
                                    remat=self.remat, name="visual_net")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
                                           self.n_classes, 2, self.dtype)
@@ -183,9 +186,11 @@ class M3AEClassifier(nn.Module, _FusionMixin):
     model_type: str = "base"
     dtype: Dtype = jnp.float32
     modal3: bool = False
+    text_vocab_size: int = 30522   # BERT vocab (m3ae.py:317)
 
     def setup(self):
-        cfg = M3AEConfig(model_type=self.model_type)
+        cfg = M3AEConfig(model_type=self.model_type,
+                         text_vocab_size=self.text_vocab_size)
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
@@ -313,7 +318,8 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         return M3AEClassifier(**kw)
     if cfg.clip:
         return CLIPClassifier(**kw)
-    return AVClassifier(masked_bn=cfg.masked_bn, **kw)
+    return AVClassifier(masked_bn=cfg.masked_bn,
+                        stages=tuple(cfg.resnet_stages), **kw)
 
 
 MODALITIES = {"AVClassifier": ("a", "v"), "CAVClassifier": ("a", "v"),

@@ -9,6 +9,10 @@ var alone is not enough — jax.config.update is required.
 import os
 
 os.environ.setdefault("OMP_NUM_THREADS", "1")  # torch OpenMP vs XLA threadpool
+# Zero-egress image: hub lookups (e.g. BertTokenizer.from_pretrained in the
+# token-ETL test) otherwise hang ~3 min in connect timeouts before skipping.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

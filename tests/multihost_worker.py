@@ -44,7 +44,8 @@ def main():
 
     assert len(jax.devices()) == 4, jax.devices()
     mesh = make_mesh()
-    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                         stages=(1, 1, 1, 1))
     adapter = build_adapter(cfg, "train")
     loader = Loader(adapter, cfg.batch_size, mesh=mesh, shuffle=True,
                     seed=cfg.random_seed, num_workers=2)

@@ -19,11 +19,12 @@ from mla_tpu.train.state import create_train_state
 def _run(seed, n=3):
     cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, gs_rls=True,
                     train=True).validate()
-    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                         stages=(1, 1, 1, 1))
     rng = np.random.default_rng(seed)
     batch = {"spec": jnp.asarray(rng.standard_normal((4, 1, 64, 80)),
                                  jnp.float32),
-             "image": jnp.asarray(rng.standard_normal((4, 3, 3, 32, 32)),
+             "image": jnp.asarray(rng.standard_normal((4, 3, 1, 32, 32)),
                                   jnp.float32),
              "label": jnp.asarray(rng.integers(0, 6, 4), jnp.int32),
              "idx": jnp.arange(4, dtype=jnp.int32),

@@ -21,11 +21,18 @@ def tiny_cremad(tmp_path_factory):
 
 
 class TestDriver:
-    def test_train_eval_checkpoint_resume(self, tiny_cremad, tmp_path):
+    def test_train_eval_checkpoint_resume_evalonly(self, tiny_cremad,
+                                                   tmp_path):
+        """One sequential driver flow: train 2 epochs -> best ckpt -> restore
+        roundtrip -> eval-only re-run on the saved ckpt. (Merged into one test
+        so the train step compiles once on this 1-core CI host; DP/TP mesh
+        semantics are covered by test_parallel/test_tp and the driver-recorded
+        dryrun — here a (2, 1) mesh keeps the sharded-loader path active.)"""
         from mla_tpu.runtime import checkpoint as ckpt_lib
         from mla_tpu.runtime.driver import run
 
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, image_size=32,
+                        resnet_stages=(1, 1, 1, 1), mesh_shape=(2, 1),
                         train=True, epochs=2, batch_size=4,
                         data_root=tiny_cremad, ckpt_path=str(tmp_path / "ck"),
                         use_tensorboard=False, num_workers=2,
@@ -44,19 +51,8 @@ class TestDriver:
         meta = ckpt_lib.load_meta(path)
         assert meta["modulation"] == "Normal" and "acc" in meta
 
-    def test_eval_only_branch(self, tiny_cremad, tmp_path):
-        from mla_tpu.runtime.driver import run
-
-        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True, image_size=32,
-                        train=True, epochs=1, batch_size=4,
-                        data_root=tiny_cremad,
-                        ckpt_path=str(tmp_path / "ck2"),
-                        use_tensorboard=False, num_workers=2).validate()
-        _, result = run(cfg, max_steps_per_epoch=1)
-        ckpts = [n for n in os.listdir(cfg.ckpt_path)
-                 if not n.endswith(".json")]
-        eval_cfg = cfg.replace(
-            train=False, ckpt_path=os.path.join(cfg.ckpt_path, ckpts[0]))
+        # eval-only branch on the ckpt just written (main.py:946-953)
+        eval_cfg = cfg.replace(train=False, ckpt_path=path)
         _, accs = run(eval_cfg)
         assert 0.0 <= accs["acc"] <= 1.0
         assert abs(accs["acc"] - result["best_acc"]) < 1e-6
@@ -70,8 +66,9 @@ class TestCheckpointUtils:
         from mla_tpu.train.state import create_train_state
 
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
-                        train=True).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+                        resnet_stages=(1, 1, 1, 1), train=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         rng = np.random.default_rng(0)
         batch = {"spec": jnp.asarray(rng.standard_normal((2, 1, 64, 80)),
                                      jnp.float32),

@@ -15,7 +15,7 @@ from mla_tpu.train.state import create_train_state
 def _batch(rng, b=8):
     return {"spec": jnp.asarray(rng.standard_normal((b, 1, 64, 80)),
                                 jnp.float32),
-            "image": jnp.asarray(rng.standard_normal((b, 3, 3, 32, 32)),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 1, 32, 32)),
                                  jnp.float32),
             "label": jnp.asarray(rng.integers(0, 6, b), jnp.int32),
             "idx": jnp.arange(b, dtype=jnp.int32),
@@ -35,7 +35,8 @@ class TestEvalBranches:
         rng = np.random.default_rng(0)
         cfg = MLAConfig(dataset="CREMAD", lorb="base",
                         modulation="QMF").validate()
-        model = AVClassifier(n_classes=6, qmf=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, qmf=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         counts = _counts(cfg, model, _batch(rng))
         s = summarize_counts(counts)
         assert set(s) == {"acc", "acc_a", "acc_v"}
@@ -44,7 +45,8 @@ class TestEvalBranches:
     def test_joint_eval_sliced_modality_logits(self):
         rng = np.random.default_rng(1)
         cfg = MLAConfig(dataset="CREMAD", lorb="base").validate()
-        model = AVClassifier(n_classes=6, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         counts = _counts(cfg, model, _batch(rng))
         assert float(jnp.sum(counts["num"])) == 8.0
 
@@ -52,7 +54,8 @@ class TestEvalBranches:
         rng = np.random.default_rng(2)
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         av_alpha=0.55).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         counts = _counts(cfg, model, _batch(rng))
         assert float(jnp.sum(counts["num"])) == 8.0
 
@@ -60,7 +63,8 @@ class TestEvalBranches:
         rng = np.random.default_rng(3)
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         dynamic=True).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         counts = _counts(cfg, model, _batch(rng))
         assert np.isfinite(np.asarray(counts["acc"])).all()
 
@@ -108,7 +112,8 @@ def test_ewc_flag_inert():
     (main.py:957-963 vs main.py:486-488). We keep documented gs semantics."""
     rng = np.random.default_rng(7)
     batch = _batch(rng)
-    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
     base = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                      av_alpha=0.55)
     c0 = _counts(base.validate(), model, batch)

@@ -37,18 +37,18 @@ class TestResNet18:
 
 class TestM3AE:
     def test_text_only_and_image_only(self):
-        enc = M3AEEncoder(M3AEConfig(model_type="small"))
+        enc = M3AEEncoder(M3AEConfig(model_type="debug", text_vocab_size=1024))
         token = jnp.zeros((2, 8), jnp.int32)
         pm = jnp.zeros((2, 8), jnp.float32)
         v = enc.init(jax.random.key(0), None, token, pm)
         out = enc.apply(v, None, token, pm)
-        assert out.shape == (2, 9, 384)  # CLS + 8 text tokens
+        assert out.shape == (2, 9, 1024)  # CLS + 8 text tokens
         img = jnp.zeros((2, 4, 768))
         out2 = enc.apply(v, img, None, None)
-        assert out2.shape == (2, 5, 384)
+        assert out2.shape == (2, 5, 1024)
 
     def test_padding_mask_matters(self):
-        enc = M3AEEncoder(M3AEConfig(model_type="small"))
+        enc = M3AEEncoder(M3AEConfig(model_type="debug", text_vocab_size=1024))
         rng = np.random.default_rng(0)
         token = jnp.asarray(rng.integers(0, 30522, (1, 8)), jnp.int32)
         v = enc.init(jax.random.key(0), None, token, jnp.zeros((1, 8)))
@@ -87,14 +87,15 @@ class TestClassifiers:
                 "label": jnp.zeros((b,), jnp.int32)}
 
     def test_av_joint(self):
-        m = classifiers.AVClassifier(n_classes=6)
+        m = classifiers.AVClassifier(n_classes=6, stages=(1, 1, 1, 1))
         batch = self._av_batch()
         _, out = _init_apply(m, batch, train=True)
         assert out["out"].shape == (2, 6)
         assert out["a"].shape == out["v"].shape == (2, 512)
 
     def test_av_gs_head(self):
-        m = classifiers.AVClassifier(n_classes=6, gs_flag=True)
+        m = classifiers.AVClassifier(n_classes=6, gs_flag=True,
+                                     stages=(1, 1, 1, 1))
         batch = self._av_batch()
         v = m.init(jax.random.key(0), batch, train=False)
         out, _ = m.apply(v, batch, train=False, mutable=["batch_stats"])
@@ -106,17 +107,20 @@ class TestClassifiers:
         assert v["params"]["fusion_module"]["fc_out"]["kernel"].shape == (512, 6)
 
     def test_av_qmf(self):
-        m = classifiers.AVClassifier(n_classes=6, qmf=True)
+        m = classifiers.AVClassifier(n_classes=6, qmf=True,
+                                     stages=(1, 1, 1, 1))
         _, out = _init_apply(m, self._av_batch())
         assert out["a"].shape == out["v"].shape == (2, 6)
 
     def test_av_sum_fusion(self):
-        m = classifiers.AVClassifier(n_classes=6, fusion_method="sum")
+        m = classifiers.AVClassifier(n_classes=6, fusion_method="sum",
+                                     stages=(1, 1, 1, 1))
         _, out = _init_apply(m, self._av_batch())
         assert out["out"].shape == (2, 6)
 
     def test_m3ae_classifier(self):
-        m = classifiers.M3AEClassifier(n_classes=3, model_type="small")
+        m = classifiers.M3AEClassifier(n_classes=3, model_type="small",
+                                       text_vocab_size=1024)
         batch = {"token": jnp.zeros((2, 1, 8), jnp.int32),
                  "padding_mask": jnp.zeros((2, 1, 8)),
                  "image": jnp.zeros((2, 3, 32, 32))}

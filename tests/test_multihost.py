@@ -41,6 +41,7 @@ def fixture_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(fixture_root, tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"w{i}.json") for i in range(2)]

@@ -55,7 +55,7 @@ class TestMaskedBatchNorm:
         rng = np.random.default_rng(2)
         full = {"spec": jnp.asarray(rng.standard_normal((8, 1, 32, 40)),
                                     jnp.float32),
-                "image": jnp.asarray(rng.standard_normal((8, 3, 3, 32, 32)),
+                "image": jnp.asarray(rng.standard_normal((8, 3, 1, 32, 32)),
                                      jnp.float32),
                 "label": jnp.asarray(rng.integers(0, 6, 8), jnp.int32),
                 "idx": jnp.arange(8, dtype=jnp.int32),
@@ -68,7 +68,7 @@ class TestMaskedBatchNorm:
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         train=True).validate()
         model = AVClassifier(n_classes=6, gs_flag=True, masked_bn=True,
-                             dtype=jnp.float32)
+                             dtype=jnp.float32, stages=(1, 1, 1, 1))
         spec = optim.make_spec(cfg)
         state = create_train_state(model, cfg, full, spec)
         step_fn = steps.make_train_step(model, cfg, spec, len_dl=4)

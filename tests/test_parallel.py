@@ -17,7 +17,7 @@ from mla_tpu.train.state import create_train_state
 def _batch(rng, b=16):
     return {"spec": jnp.asarray(rng.standard_normal((b, 1, 64, 80)),
                                 jnp.float32),
-            "image": jnp.asarray(rng.standard_normal((b, 3, 3, 32, 32)),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 1, 32, 32)),
                                  jnp.float32),
             "label": jnp.asarray(rng.integers(0, 6, b), jnp.int32),
             "idx": jnp.arange(b, dtype=jnp.int32),
@@ -32,7 +32,8 @@ class TestDataParallel:
     def test_sharded_step_matches_unsharded(self):
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         gs_rls=True, train=True).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         rng = np.random.default_rng(0)
         batch = _batch(rng)
         spec = optim.make_spec(cfg)
@@ -72,7 +73,8 @@ class TestDataParallel:
         from mla_tpu.evals.metrics import make_eval_step
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         train=True).validate()
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         rng = np.random.default_rng(1)
         full = _batch(rng, b=8)
         small = {k: v[:5] for k, v in full.items()}

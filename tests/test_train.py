@@ -211,7 +211,7 @@ def _tiny_batch(rng, b=8, n_classes=2):
     """Learnable synthetic AV data: class signal injected into both modalities."""
     labels = rng.integers(0, n_classes, b)
     spec = rng.standard_normal((b, 1, 64, 80)).astype(np.float32) * 0.1
-    image = rng.standard_normal((b, 3, 3, 32, 32)).astype(np.float32) * 0.1
+    image = rng.standard_normal((b, 3, 1, 32, 32)).astype(np.float32) * 0.1
     for i, y in enumerate(labels):
         spec[i, :, y * 20:(y + 1) * 20, :] += 1.0
         image[i, :, :, y * 10:(y + 1) * 10, :] += 1.0
@@ -222,7 +222,12 @@ def _tiny_batch(rng, b=8, n_classes=2):
 
 
 class TestEndToEnd:
-    @pytest.mark.parametrize("regime", ["mla", "normal", "ogm", "qmf"])
+    @pytest.mark.parametrize(
+        "regime",
+        ["mla",
+         pytest.param("normal", marks=pytest.mark.slow),
+         pytest.param("ogm", marks=pytest.mark.slow),
+         pytest.param("qmf", marks=pytest.mark.slow)])
     def test_loss_decreases(self, regime):
         kw = {"mla": dict(gs_flag=True),
               "normal": dict(),
@@ -231,7 +236,8 @@ class TestEndToEnd:
         cfg = MLAConfig(dataset="CREMAD", lorb="base", train=True,
                         **kw).validate()
         model = AVClassifier(n_classes=6, gs_flag=cfg.gs_flag,
-                             qmf=cfg.modulation == "QMF", dtype=jnp.float32)
+                             qmf=cfg.modulation == "QMF", dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         rng = np.random.default_rng(0)
         batch = _tiny_batch(rng, n_classes=2)
         spec = optim.make_spec(cfg)
@@ -245,12 +251,14 @@ class TestEndToEnd:
                 first = float(m["loss"])
         assert float(m["loss"]) < first
 
+    @pytest.mark.slow
     def test_mla_gs_rls_changes_training(self):
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         train=True).validate()
         rng = np.random.default_rng(0)
         batch = _tiny_batch(rng)
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         spec = optim.make_spec(cfg)
         results = {}
         for rls in (False, True):
@@ -264,12 +272,14 @@ class TestEndToEnd:
                 state.params["fusion_module"]["fc_out"]["kernel"])
         assert not np.allclose(results[False], results[True])
 
+    @pytest.mark.slow
     def test_ghost_updates_affect_audio_encoder(self):
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         train=True).validate()
         rng = np.random.default_rng(0)
         batch = _tiny_batch(rng)
-        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
         spec = optim.make_spec(cfg)
         outs = {}
         for ghost in (False, True):
