@@ -31,7 +31,11 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         mesh_shape = (len(devices), 1)
     if len(mesh_shape) == 1:
         mesh_shape = (mesh_shape[0], 1)
-    grid = devices.reshape(mesh_shape)
+    n = int(np.prod(mesh_shape))
+    if n > len(devices):
+        raise ValueError(f"mesh_shape {tuple(mesh_shape)} needs {n} devices, "
+                         f"have {len(devices)}")
+    grid = devices[:n].reshape(mesh_shape)  # subset meshes allowed
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -24,7 +24,8 @@ from mla_tpu.data.datasets import build_adapter
 from mla_tpu.data.pipeline import Loader
 from mla_tpu.evals.metrics import make_eval_step, summarize_counts
 from mla_tpu.models.classifiers import build_classifier, modalities_of
-from mla_tpu.parallel.mesh import make_mesh, replicate
+from mla_tpu.parallel.mesh import make_mesh
+from mla_tpu.parallel.tp import shard_state
 from mla_tpu.runtime import checkpoint as ckpt_lib
 from mla_tpu.train import optim, steps as steps_lib
 from mla_tpu.train.state import create_train_state
@@ -95,7 +96,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         state = state.replace(params=ckpt_lib.warm_start_params(
             cfg.ckpt_load_path_train, state.params))
         print("Trained model loaded!")
-    state = replicate(mesh, state)
+    # DP replicate; with --mesh_shape d,m (m>1) transformer blocks are
+    # additionally tensor-parallel over the model axis (parallel/tp.py)
+    state = shard_state(mesh, state)
 
     len_dl = len(train_loader)
     train_step = jax.jit(
@@ -115,7 +118,7 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         else:
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         # restored leaves are host-local; promote back onto the global mesh
-        state = replicate(mesh, state)
+        state = shard_state(mesh, state)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
         return jax.block_until_ready(state), accs

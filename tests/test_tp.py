@@ -1,0 +1,91 @@
+"""Tensor parallelism (parallel/tp.py): a (data=4, model=2) mesh must give
+the same MLA step as single-device, with transformer kernels actually
+sharded over the model axis (SURVEY.md §5.8; beyond the reference's
+DataParallel-only scaling, main.py:732)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.models.classifiers import M3AEClassifier
+from mla_tpu.parallel import tp
+from mla_tpu.parallel.mesh import make_mesh
+from mla_tpu.train import optim, steps
+from mla_tpu.train.state import create_train_state
+
+
+def _m3ae_batch(rng, b=8, n_classes=3):
+    return {"token": jnp.asarray(rng.integers(0, 1000, (b, 16)), jnp.int32),
+            "padding_mask": jnp.zeros((b, 16), jnp.float32)
+                .at[:, 12:].set(1.0),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 32, 32)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, n_classes, b), jnp.int32),
+            "idx": jnp.arange(b, dtype=jnp.int32),
+            "valid": jnp.ones((b,), jnp.float32)}
+
+
+class TestTensorParallel:
+    def test_leaf_rules(self):
+        mesh = make_mesh(mesh_shape=(4, 2))
+        fake = {"params": {"mae_v": {"block_0": {
+            "attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
+                             "bias": jnp.zeros((24,))},
+                     "proj": {"kernel": jnp.zeros((8, 8)),
+                              "bias": jnp.zeros((8,))}},
+            "mlp": {"fc1": {"kernel": jnp.zeros((8, 32))},
+                    "fc2": {"kernel": jnp.zeros((32, 8))}}}},
+            "odd": {"qkv": {"kernel": jnp.zeros((8, 9))}}}}  # 9 % 2 != 0
+        sh = tp.state_shardings(mesh, fake)
+        blk = sh["params"]["mae_v"]["block_0"]
+        assert blk["attn"]["qkv"]["kernel"].spec == P(None, "model")
+        assert blk["attn"]["qkv"]["bias"].spec == P("model")
+        assert blk["attn"]["proj"]["kernel"].spec == P("model", None)
+        assert blk["attn"]["proj"]["bias"].spec == P()
+        assert blk["mlp"]["fc1"]["kernel"].spec == P(None, "model")
+        assert blk["mlp"]["fc2"]["kernel"].spec == P("model", None)
+        # non-divisible widths stay replicated, never error
+        assert sh["params"]["odd"]["qkv"]["kernel"].spec == P()
+
+    @pytest.mark.slow
+    def test_tp_step_matches_single_device(self):
+        cfg = MLAConfig(dataset="MVSA", lorb="m3ae", gs_flag=True,
+                        train=True).validate()
+        model = M3AEClassifier(n_classes=3, gs_flag=True,
+                               model_type="debug", text_vocab_size=1024,
+                               dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        batch = _m3ae_batch(rng)
+        spec = optim.make_spec(cfg)
+        state0 = create_train_state(model, cfg, batch, spec)
+        step_fn = steps.make_train_step(model, cfg, spec, len_dl=4)
+
+        s1, m1 = jax.jit(step_fn)(state0, batch, jnp.float32(1e-3),
+                                  jnp.int32(1), jnp.int32(0))
+
+        mesh = make_mesh(mesh_shape=(4, 2))
+        state_tp = tp.shard_state(mesh, state0)
+        # transformer kernels really live sharded on the model axis
+        qkv = None
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                state_tp.params):
+            names = tp._path_names(path)
+            if names[-2:] == ["qkv", "kernel"]:
+                qkv = leaf
+                break
+        assert qkv is not None
+        assert qkv.sharding.spec == P(None, "model")
+        assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+
+        batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                   for k, v in batch.items()}
+        s2, m2 = jax.jit(step_fn)(state_tp, batch_s, jnp.float32(1e-3),
+                                  jnp.int32(1), jnp.int32(0))
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
