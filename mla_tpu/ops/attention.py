@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e7
@@ -191,9 +192,66 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
     return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :]
 
 
+# --- GSPMD partitioning for the Pallas kernels -------------------------------
+#
+# pallas_call lowers to an opaque custom call GSPMD cannot split, so under
+# tensor parallelism (parallel/tp.py shards the head axis) the compiler would
+# otherwise all-gather q/k/v around the kernel. custom_partitioning teaches the
+# partitioner that the kernels are embarrassingly parallel over (batch, head):
+# each shard just runs the same kernel on its local block. Sequence and
+# head-dim factors stay kernel-local (the kernel needs full K/V rows), which
+# matches the TP layout — only 'data' x batch and 'model' x head are ever
+# sharded. Verified: no all-gather in the compiled (4,2)-mesh HLO and
+# bit-identical output (tests/test_tp.py).
+
+def _sp_infer(*args):
+    # result takes q's sharding: (B, H, S, D) -> (B, H, S, D), same layout
+    arg_shapes = args[-2]
+    return arg_shapes[0].sharding
+
+
+def _sp_infer_bwd(*args):
+    arg_shapes = args[-2]
+    return tuple(s.sharding for s in arg_shapes[:3])
+
+
+def _sp_partition_fwd(interpret, mesh, arg_shapes, result_shape):
+    def lower(q, k, v, m):
+        return flash_attention(q, k, v, m, interpret=interpret)
+    return (mesh, lower, result_shape.sharding,
+            tuple(a.sharding for a in arg_shapes))
+
+
+def _sp_partition_bwd(interpret, mesh, arg_shapes, result_shape):
+    def lower(q, k, v, do, m):
+        return flash_attention_bwd(q, k, v, do, m, interpret=interpret)
+    return (mesh, lower, tuple(r.sharding for r in result_shape),
+            tuple(a.sharding for a in arg_shapes))
+
+
+flash_attention_sp = custom_partitioning(
+    lambda q, k, v, m, interpret=False: flash_attention(
+        q, k, v, m, interpret=interpret),
+    static_argnums=(4,))
+flash_attention_sp.def_partition(
+    partition=_sp_partition_fwd,
+    infer_sharding_from_operands=_sp_infer,
+    sharding_rule="b h s d, b h t d, b h t d, b t -> b h s d")
+
+flash_attention_bwd_sp = custom_partitioning(
+    lambda q, k, v, do, m, interpret=False: flash_attention_bwd(
+        q, k, v, do, m, interpret=interpret),
+    static_argnums=(5,))
+flash_attention_bwd_sp.def_partition(
+    partition=_sp_partition_bwd,
+    infer_sharding_from_operands=_sp_infer_bwd,
+    sharding_rule=("b h s d, b h t d, b h t d, b h s d, b t "
+                   "-> b h s d, b h t d, b h t d"))
+
+
 @jax.custom_vjp
 def _flash_mha(q, k, v, padding_mask):
-    return flash_attention(q, k, v, padding_mask)
+    return flash_attention_sp(q, k, v, padding_mask)
 
 
 def _flash_mha_fwd(q, k, v, padding_mask):
@@ -204,7 +262,7 @@ def _flash_mha_fwd(q, k, v, padding_mask):
     # Pallas forward too (no recompute to CSE against). The undifferentiated
     # primal path (inference) always runs the fused Pallas kernel.
     if _USE_PALLAS_BWD:
-        out = flash_attention(q, k, v, padding_mask)
+        out = flash_attention_sp(q, k, v, padding_mask)
     else:
         out = attention_reference(q, k, v, padding_mask)
     return out, (q, k, v, padding_mask)
@@ -227,7 +285,7 @@ def set_pallas_backward(enable: bool):
 def _flash_mha_bwd(res, g):
     q, k, v, padding_mask = res
     if _USE_PALLAS_BWD:
-        dq, dk, dv = flash_attention_bwd(q, k, v, g, padding_mask)
+        dq, dk, dv = flash_attention_bwd_sp(q, k, v, g, padding_mask)
     else:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: attention_reference(q_, k_, v_, padding_mask),

@@ -21,10 +21,11 @@ Enable with ``--mesh_shape d,m`` (m > 1); a rule only applies when the
 dimension divides evenly, so head counts / widths that don't split stay
 replicated rather than erroring.
 
-Note: the Pallas fused-attention kernel is a custom call GSPMD cannot split;
-under TP the differentiated path already uses the XLA attention (hybrid VJP,
-ops/attention.py) which partitions cleanly. Pure-inference TP on TPU gathers
-the (small) per-head operands around the kernel.
+Note: the Pallas fused-attention kernels carry a custom_partitioning rule
+(ops/attention.py) declaring them embarrassingly parallel over (batch, head),
+so GSPMD splits the kernel itself over the model-sharded head axis — no
+gather around the custom call on either the inference path or the
+Pallas-backward path (tests/test_tp.py::test_pallas_attention_partitions).
 """
 
 from __future__ import annotations

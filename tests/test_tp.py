@@ -28,6 +28,54 @@ def _m3ae_batch(rng, b=8, n_classes=3):
             "valid": jnp.ones((b,), jnp.float32)}
 
 
+class TestPallasAttentionPartitioning:
+    """custom_partitioning on the Pallas kernels: GSPMD must split the
+    custom call over (batch, head) instead of gathering q/k/v around it."""
+
+    def _operands(self, b=8, h=4, s=64, d=16):
+        key = jax.random.PRNGKey(7)
+        q, k, v, do = (jax.random.normal(jax.random.fold_in(key, i),
+                                         (b, h, s, d)) for i in range(4))
+        mask = (jax.random.uniform(key, (b, s)) > 0.8).astype(jnp.float32)
+        return q, k, v, do, mask
+
+    def test_forward_partitions_no_gather(self):
+        from mla_tpu.ops import attention as A
+        mesh = make_mesh(mesh_shape=(4, 2))
+        q, k, v, _, mask = self._operands()
+        sh = NamedSharding(mesh, P("data", "model"))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        f = jax.jit(A.flash_attention_sp, static_argnums=(4,))
+        out = f(qs, ks, vs, ms, True)
+        ref = A.attention_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        assert out.sharding.spec == P("data", "model")
+        hlo = f.lower(qs, ks, vs, ms, True).compile().as_text()
+        assert "all-gather" not in hlo
+
+    def test_backward_partitions_no_gather(self):
+        from mla_tpu.ops import attention as A
+        mesh = make_mesh(mesh_shape=(4, 2))
+        q, k, v, do, mask = self._operands()
+        sh = NamedSharding(mesh, P("data", "model"))
+        qs, ks, vs, dos = (jax.device_put(x, sh) for x in (q, k, v, do))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        f = jax.jit(A.flash_attention_bwd_sp, static_argnums=(5,))
+        dq, dk, dv = f(qs, ks, vs, dos, ms, True)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: A.attention_reference(q_, k_, v_, mask),
+            q, k, v)
+        rq, rk, rv = vjp(do)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4)
+        assert dq.sharding.spec == P("data", "model")
+        hlo = f.lower(qs, ks, vs, dos, ms, True).compile().as_text()
+        assert "all-gather" not in hlo
+
+
 class TestTensorParallel:
     def test_leaf_rules(self):
         mesh = make_mesh(mesh_shape=(4, 2))
