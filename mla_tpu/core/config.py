@@ -100,6 +100,10 @@ class MLAConfig:
     compute_dtype: str = "bfloat16"
     num_workers: int = 8             # host-side loader threads
     mesh_shape: Optional[Tuple[int, ...]] = None   # default: 1-D (n_devices,) data mesh
+    seq_parallel: bool = False       # Megatron-SP: token-shard the residual
+                                     # stream over the model axis between
+                                     # transformer blocks (parallel/sp.py);
+                                     # needs mesh_shape (d, m) with m > 1
     log_every: int = 50
     masked_bn: bool = False          # exact partial-batch BN statistics
                                      # (MaskedBatchNorm); ~10% step-time cost,
@@ -248,6 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_t", default=None, type=str)
     p.add_argument("--mesh_shape", default=None, type=str,
                    help="comma-separated (data, model) mesh, e.g. '8,1'")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="sequence parallelism over the model axis "
+                        "(requires --mesh_shape d,m with m>1)")
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mla_tpu.ops.attention import fused_attention
+from mla_tpu.parallel import sp
 
 Dtype = Any
 
@@ -77,14 +78,18 @@ class M3AEBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
+        # SP (parallel/sp.py): the residual stream is token-sharded between
+        # blocks; LN runs on local tokens, GSPMD gathers for qkv/fc1 and
+        # reduce-scatters the row-parallel proj/fc2 outputs back.
+        x = sp.constrain(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = MultiHeadAttention(self.emb_dim, self.num_heads, use_bias=True,
                                dtype=self.dtype, name="attn")(y, padding_mask)
-        x = x + y
+        x = sp.constrain(x + y)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.emb_dim, self.emb_dim, self.mlp_ratio, dtype=self.dtype,
                 name="mlp")(y)
-        return x + y
+        return sp.constrain(x + y)
 
 
 class CAVBlock(nn.Module):
@@ -125,6 +130,7 @@ class CAVBlock(nn.Module):
 
     def __call__(self, x, modality: Optional[str] = None):
         suffix = "" if modality is None else f"_{modality}"
-        x = x + self.attn(self._ln(f"norm1{suffix}", x))
-        x = x + self.mlp(self._ln(f"norm2{suffix}", x))
+        x = sp.constrain(x)
+        x = sp.constrain(x + self.attn(self._ln(f"norm1{suffix}", x)))
+        x = sp.constrain(x + self.mlp(self._ln(f"norm2{suffix}", x)))
         return x

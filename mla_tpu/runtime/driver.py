@@ -99,6 +99,11 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     # DP replicate; with --mesh_shape d,m (m>1) transformer blocks are
     # additionally tensor-parallel over the model axis (parallel/tp.py)
     state = shard_state(mesh, state)
+    if cfg.seq_parallel:
+        # token-shard the residual stream between blocks (parallel/sp.py);
+        # trace-time switch — must be set before the steps below are jitted
+        from mla_tpu.parallel import sp
+        sp.enable(mesh)
 
     len_dl = len(train_loader)
     train_step = jax.jit(

@@ -76,6 +76,46 @@ class TestPallasAttentionPartitioning:
         assert "all-gather" not in hlo
 
 
+class TestSequenceParallel:
+    """Megatron-SP (parallel/sp.py): token-sharding the residual stream under
+    TP must be numerically identical, and the between-block activations must
+    really live token-sharded on the model axis. (The combine collective is
+    XLA's choice — reduce-scatter on TPU, all-reduce + dynamic-slice on the
+    CPU test backend — so the test pins the layout, not the op name.)"""
+
+    def test_block_sp_matches_and_token_shards(self):
+        from mla_tpu.models.layers import M3AEBlock
+        from mla_tpu.parallel import sp
+        mesh = make_mesh(mesh_shape=(4, 2))
+        block = M3AEBlock(emb_dim=32, num_heads=4, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 32))
+        params = block.init(jax.random.PRNGKey(1), x)
+        ref = block.apply(params, x)
+
+        params_tp = jax.tree_util.tree_map(
+            jax.device_put, params, tp.state_shardings(mesh, params))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        assert sp.enable(mesh)
+        try:
+            out = jax.jit(block.apply)(params_tp, xs)
+        finally:
+            sp.disable()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        # residual stream leaves the block token-sharded over 'model'
+        assert out.sharding.spec == P("data", "model")
+        shard = out.addressable_shards[0].data
+        assert shard.shape == (out.shape[0] // 4, out.shape[1] // 2,
+                               out.shape[2])
+
+    def test_enable_noop_without_model_axis(self):
+        from mla_tpu.parallel import sp
+        mesh = make_mesh(mesh_shape=(8, 1))
+        assert not sp.enable(mesh)
+        x = jnp.ones((2, 4, 8))
+        assert sp.constrain(x) is x
+
+
 class TestTensorParallel:
     def test_leaf_rules(self):
         mesh = make_mesh(mesh_shape=(4, 2))
@@ -135,5 +175,20 @@ class TestTensorParallel:
         assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+        # + SP: token-sharded residual stream gives the same step too
+        from mla_tpu.parallel import sp
+        assert sp.enable(mesh)
+        try:
+            s3, m3 = jax.jit(step_fn)(tp.shard_state(mesh, state0), batch_s,
+                                      jnp.float32(1e-3), jnp.int32(1),
+                                      jnp.int32(0))
+            assert abs(float(m1["loss"]) - float(m3["loss"])) < 1e-5
+        finally:
+            sp.disable()
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s3.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
