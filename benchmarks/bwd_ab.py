@@ -28,14 +28,17 @@ def main():
     cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
                     train=True).validate()
 
-    for use_pallas in (False, True, False):  # ABA to bound relay drift
+    # False = force XLA bwd, True = force Pallas bwd, None = shape policy
+    # (ABA-style ordering to bound relay drift)
+    for use_pallas in (False, True, None):
         attention.set_pallas_backward(use_pallas)
+        name = {False: "hybrid", True: "pallas", None: "auto"}[use_pallas]
         r = bench_config(
-            f"m3ae_mla_{'pallas' if use_pallas else 'hybrid'}_bwd", cfg,
+            f"m3ae_mla_{name}_bwd", cfg,
             M3AEClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16),
             batch)
         print(r)
-    attention.set_pallas_backward(False)
+    attention.set_pallas_backward(None)
 
 
 if __name__ == "__main__":

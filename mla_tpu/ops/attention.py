@@ -4,10 +4,13 @@ The reference materializes (B, H, S, S) score tensors and applies the padding
 mask by overwriting masked columns with -1e7 before softmax
 (reference: models/m3ae.py:95-127; timm attention in models/cav_mae.py:16).
 Here the whole (scores -> mask -> softmax -> weighted sum) pipeline is one
-Pallas TPU kernel: q is processed in 128-row blocks, K/V live in VMEM for the
-full (<=1k-token) sequence, softmax accumulates in fp32, and the two matmuls
-hit the MXU back to back. Sequence growth stays kernel-local (q-blockwise),
-so longer contexts need no architectural change (SURVEY.md §5.7).
+Pallas TPU kernel. At the model family's sequence lengths (<= ~1k tokens) a
+head-chunked kernel processes GH whole heads per grid step with everything
+VMEM-resident — dots on the MXU in the input dtype with fp32 accumulation,
+softmax in fp32 (see _attn_kernel_heads for the measured retune). Longer
+sequences fall back to a q-blockwise kernel (128-row q blocks, full-sequence
+K/V in VMEM), so context growth needs no architectural change
+(SURVEY.md §5.7).
 
 Mask semantics replicated exactly: where mask > 0, the *scaled* score is
 replaced by -1e7 (not added), then softmax.
@@ -58,6 +61,53 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+# Head-chunked kernels (the production path for the model family's S <= ~1k).
+#
+# Round-2 retune: the q-blockwise kernel above runs ONE (128, D=64) q-block
+# per grid step — at ViT shapes (B64 H12 S257) that is a 2304-step grid of
+# ~13 MFLOP invocations, measured 1.96 ms/op in a serial chain (14.8 TF/s),
+# i.e. bound by per-invocation overhead and the half-empty D=64 lane tile,
+# not by the MXU. Processing GH whole heads per grid step with the dots kept
+# in the input dtype (bf16 on the MXU, fp32 accumulation via
+# preferred_element_type) measures 0.73-0.74 ms/op at the same shape
+# (39.6 TF/s, GH=6/12) and 1.59 ms at S=513/GH=2 (50.6 TF/s) — 2.7x the old
+# kernel and 2.3x XLA's fused attention (1.65 ms). GH is the largest divisor
+# of H whose live fp32 score tensors fit a VMEM budget; sequences too long
+# for even GH=1 fall back to the q-blockwise kernel (long-context path,
+# SURVEY.md §5.7).
+
+# Budget for the live fp32 (GH, S, S) score-sized intermediates per grid step
+# (n_live of them: fwd keeps ~2, bwd ~3). 7 MB picks the measured-best chunks
+# on v5e: GH=6 at S=384 (0.742 ms), GH=2 at S=640 (1.59 ms), GH=1 at S=1024;
+# larger chunks gain <2% more but crowd out double-buffering.
+_SCORE_VMEM_BUDGET = 7 * 1024 * 1024
+
+
+def _head_chunk(h: int, sp: int, n_live: int) -> int:
+    per_head = sp * sp * 4 * n_live
+    gh = max(1, min(h, _SCORE_VMEM_BUDGET // per_head))
+    while h % gh:
+        gh -= 1
+    return gh
+
+
+def _attn_kernel_heads(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[0]                                    # (GH, S, D), input dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (GH, S, S) fp32
+    mask = mask_ref[0, 0]                           # (S,)
+    scores = jnp.where(mask[None, None, :] > 0, _NEG, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        probs, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, mult):
     n = x.shape[axis]
     pad = (-n) % mult
@@ -93,6 +143,26 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
     nq = sp // _QBLOCK
     mp = mp[:, None, :]  # (B, 1, Sp) — TPU block tiling needs >=2 trailing dims
 
+    gh = _head_chunk(h, sp, n_live=2)
+    if gh * sp * sp * 4 * 2 <= _SCORE_VMEM_BUDGET * 2:
+        # head-chunked full-S kernel (see note above): GH heads per grid step
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_heads, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            grid=(b, h // gh),
+            in_specs=[
+                pl.BlockSpec((1, gh, sp, d), lambda bi, hi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec((1, 1, sp), lambda bi, hi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, gh, sp, d),
+                                   lambda bi, hi: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(qp, kp, vp, mp)
+        return out[:, :, :s, :]
+
     grid = (b, h, nq)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -115,47 +185,41 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
     return out[:, :, :s, :]
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale):
-    """One (batch, head) per grid point; at these sequence lengths (<=1k)
-    Q/K/V/dO and the (S, S) probability matrix all live in VMEM, so the whole
-    backward is five back-to-back MXU matmuls with no output revisiting.
+def _attn_bwd_kernel_heads(q_ref, k_ref, v_ref, do_ref, mask_ref,
+                           dq_ref, dk_ref, dv_ref, *, scale):
+    """Head-chunked backward: GH heads per grid step, dots in the input dtype
+    (bf16 MXU, fp32 accumulation), softmax recompute + five batched matmuls
+    fully VMEM-resident. Same retune rationale as the forward (see
+    _attn_kernel_heads)."""
+    q = q_ref[0]                                   # (GH, S, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    mask = mask_ref[0, 0]                          # (S,)
 
-    STATUS (round-2 remeasure, benchmarks/bwd_tune.py): numerically correct
-    and ~1.0x XLA's fused grad at S=513/D=64 on v5e (0.75-0.9 ms vs
-    0.75-1.1 ms over repeated 50-iter serial chains; in-kernel transposes and
-    D-padding-to-128 variants measure the same within relay noise, so the
-    plain (0,0)-contraction form is kept). Round 1's "20x slower" was a
-    measurement artifact. End-to-end the hybrid XLA VJP still wins the m3ae
-    train step by ~5% (248 vs 262 ms, benchmarks/bwd_ab.py ABA), so XLA stays
-    the default backward; flip with set_pallas_backward(True) for
-    long-sequence regimes where recompute dominates."""
-    q = q_ref[0, 0].astype(jnp.float32)            # (S, D)
-    k = k_ref[0, 0].astype(jnp.float32)            # (S, D)
-    v = v_ref[0, 0].astype(jnp.float32)            # (S, D)
-    do = do_ref[0, 0].astype(jnp.float32)          # (S, D)
-    mask = mask_ref[0]                             # (1, S)
-
-    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(mask > 0, _NEG, scores)
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[None, None, :] > 0, _NEG, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (S, S)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (GH, S, S) fp32
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (S, S)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)               # (S, 1)
-    ds = p * (dp - delta)                                         # (S, S)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q_ref.dtype)    # (GH, S, S)
+    pc = p.astype(q_ref.dtype)
     # masked positions have p == 0 -> ds == 0 already
 
-    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                    * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+    dv_ref[0] = jax.lax.dot_general(
+        pc, do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
@@ -175,18 +239,19 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
     mp = mp[:, None, :]
     sp = qp.shape[2]
 
-    sspec = pl.BlockSpec((1, 1, sp, d), lambda bi, hi: (bi, hi, 0, 0),
+    gh = _head_chunk(h, sp, n_live=3)
+    hspec = pl.BlockSpec((1, gh, sp, d), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+        functools.partial(_attn_bwd_kernel_heads, scale=scale),
         out_shape=(jax.ShapeDtypeStruct(qp.shape, q.dtype),
                    jax.ShapeDtypeStruct(kp.shape, k.dtype),
                    jax.ShapeDtypeStruct(vp.shape, v.dtype)),
-        grid=(b, h),
-        in_specs=[sspec, sspec, sspec, sspec,
+        grid=(b, h // gh),
+        in_specs=[hspec, hspec, hspec, hspec,
                   pl.BlockSpec((1, 1, sp), lambda bi, hi: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(sspec, sspec, sspec),
+        out_specs=(hspec, hspec, hspec),
         interpret=interpret,
     )(qp, kp, vp, dop, mp)
     return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :]
@@ -254,37 +319,49 @@ def _flash_mha(q, k, v, padding_mask):
     return flash_attention_sp(q, k, v, padding_mask)
 
 
+# Backward selection, decided at trace time from the (static) sequence
+# length. With the head-chunked kernels the full-Pallas VJP is the end-to-end
+# winner wherever it fits: the m3ae MLA train step (B64, S=256/257) measures
+# 226.7 ms full-Pallas vs 249.7 ms hybrid-XLA (benchmarks/bwd_ab.py ABA),
+# and at S=513 the chain-timed pair is 6.14 ms vs XLA's 6.67 ms. (Isolated
+# 20-op chains at S=257 flatter XLA — 2.12 vs 2.64 ms/layer — because the
+# chained vjp CSEs unrealistically; in the real step XLA's materialized
+# (B, H, S, S) probs cost more HBM than the Pallas recompute costs FLOPs.)
+# Beyond ~1k padded tokens a GH=1 chunk's three fp32 (S, S) intermediates
+# outgrow VMEM, so XLA's tiled backward takes over there.
+# ``set_pallas_backward`` remains as a manual override for A/B runs.
+_FORCE_PALLAS_BWD = None  # None = shape policy; True/False = forced
+
+
+def set_pallas_backward(enable):
+    """Force the backward choice (True/False), or None for the shape policy."""
+    global _FORCE_PALLAS_BWD
+    _FORCE_PALLAS_BWD = enable
+
+
+def _use_pallas_bwd(s: int) -> bool:
+    if _FORCE_PALLAS_BWD is not None:
+        return _FORCE_PALLAS_BWD
+    return s + (-s) % _QBLOCK <= 1024
+
+
 def _flash_mha_fwd(q, k, v, padding_mask):
-    # Differentiated-path forward. With the XLA backward (default), use the
-    # XLA forward: the backward recomputes the same XLA attention and XLA CSEs
-    # the two — measured 18% faster m3ae train step than pallas-fwd +
-    # recompute-bwd (round 1). With the Pallas backward enabled, run the
-    # Pallas forward too (no recompute to CSE against). The undifferentiated
-    # primal path (inference) always runs the fused Pallas kernel.
-    if _USE_PALLAS_BWD:
+    # Differentiated-path forward. With the XLA backward (very long
+    # sequences), use the XLA forward: the backward recomputes the same XLA
+    # attention and XLA CSEs the two. With the Pallas backward (the default
+    # wherever it fits), run the Pallas forward too (no recompute to CSE
+    # against). The undifferentiated primal path (inference) always runs the
+    # fused Pallas kernel.
+    if _use_pallas_bwd(q.shape[2]):
         out = flash_attention_sp(q, k, v, padding_mask)
     else:
         out = attention_reference(q, k, v, padding_mask)
     return out, (q, k, v, padding_mask)
 
 
-# Backward selection. Round-1 measured the Pallas backward ~20x slower than
-# XLA's fused grad at S=513/D=64; round-2 remeasurement (benchmarks/
-# bwd_tune.py, 50-iter serial chains, repeated) shows it at ~1.0x XLA
-# (0.75-0.9 ms vs 0.75-1.1 ms) — the old number was an artifact. Both paths
-# are production-viable; XLA stays default because it is never slower in the
-# end-to-end m3ae step (see BASELINE.md round-2 notes).
-_USE_PALLAS_BWD = False
-
-
-def set_pallas_backward(enable: bool):
-    global _USE_PALLAS_BWD
-    _USE_PALLAS_BWD = enable
-
-
 def _flash_mha_bwd(res, g):
     q, k, v, padding_mask = res
-    if _USE_PALLAS_BWD:
+    if _use_pallas_bwd(q.shape[2]):
         dq, dk, dv = flash_attention_bwd_sp(q, k, v, g, padding_mask)
     else:
         _, vjp = jax.vjp(
