@@ -67,6 +67,45 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, meta: Dict[str, Any],
     return path
 
 
+# -- async best-checkpoint saves ---------------------------------------------
+# The reference blocks the epoch loop on torch.save of the best model
+# (main.py:684-694). Here the D2H snapshot (_to_saveable) is still taken
+# synchronously — it must see a consistent state — but the file write happens
+# on Orbax's background thread, so the next epoch's device work overlaps the
+# disk I/O. One AsyncCheckpointer is shared per process; a new save (or
+# process exit) first waits for the previous one, and multi-host barriers are
+# handled inside Orbax.
+
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint_async(ckpt_dir: str, state: TrainState,
+                          meta: Dict[str, Any], name: str = "best") -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    saveable = _to_saveable(state)          # sync D2H snapshot
+    ckptr = _async_ckptr()
+    ckptr.wait_until_finished()             # at most one in-flight save
+    ckptr.save(path, saveable, force=True)
+    if jax.process_index() == 0:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+    return path
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed
+    (call before reading the checkpoint back or exiting the driver)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into an existing (template) TrainState."""
     path = os.path.abspath(path)

@@ -185,7 +185,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                     "modulate_starts_{}_ends_{}_epoch_{}_acc_{}").format(
                 cfg.dataset, cfg.modulation, cfg.alpha, cfg.optimizer,
                 cfg.modulation_starts, cfg.modulation_ends, epoch, acc)
-            path = ckpt_lib.save_checkpoint(
+            # async: D2H snapshot now, file write on Orbax's background
+            # thread — the next epoch overlaps the disk I/O
+            path = ckpt_lib.save_checkpoint_async(
                 cfg.ckpt_path, state,
                 {"saved_epoch": epoch, "modulation": cfg.modulation,
                  "alpha": cfg.alpha, "fusion": cfg.fusion_method, "acc": acc},
@@ -200,5 +202,6 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
     # quiesce: float() metric reads above only force device 0 of replicated
     # arrays; wait for every shard so no multi-device execution outlives run()
+    ckpt_lib.wait_for_async_saves()  # commit any in-flight best-ckpt write
     return jax.block_until_ready(state), {"best_acc": best_acc,
                                           "history": history}

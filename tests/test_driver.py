@@ -59,6 +59,39 @@ class TestDriver:
 
 
 class TestCheckpointUtils:
+    def test_async_save_matches_sync(self, tmp_path):
+        """save_checkpoint_async + wait commits bytes identical (leaf-wise)
+        to the blocking save; the driver's best-ckpt path uses the async
+        variant (runtime/driver.py)."""
+        from mla_tpu.models.classifiers import AVClassifier
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        from mla_tpu.train import optim
+        from mla_tpu.train.state import create_train_state
+
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        resnet_stages=(1, 1, 1, 1), train=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32,
+                             stages=(1, 1, 1, 1))
+        rng = np.random.default_rng(0)
+        batch = {"spec": jnp.asarray(rng.standard_normal((2, 1, 64, 80)),
+                                     jnp.float32),
+                 "image": jnp.asarray(
+                     rng.standard_normal((2, 3, 3, 32, 32)), jnp.float32),
+                 "label": jnp.zeros((2,), jnp.int32)}
+        spec = optim.make_spec(cfg)
+        s = create_train_state(model, cfg, batch, spec, seed=3)
+        p_sync = ckpt_lib.save_checkpoint(str(tmp_path), s, {"acc": 1.0},
+                                          "sync")
+        p_async = ckpt_lib.save_checkpoint_async(str(tmp_path), s,
+                                                 {"acc": 1.0}, "async")
+        ckpt_lib.wait_for_async_saves()
+        r_sync = ckpt_lib.restore_checkpoint(p_sync, s)
+        r_async = ckpt_lib.restore_checkpoint(p_async, s)
+        for a, b in zip(jax.tree_util.tree_leaves(r_sync.params),
+                        jax.tree_util.tree_leaves(r_async.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ckpt_lib.load_meta(p_async)["acc"] == 1.0
+
     def test_warm_start_drops_head(self, tiny_cremad, tmp_path):
         from mla_tpu.models.classifiers import AVClassifier
         from mla_tpu.runtime import checkpoint as ckpt_lib
