@@ -106,13 +106,25 @@ class M3AEEncoder(nn.Module):
         text_padding_mask: (B, L) float, 1 = padded
         returns (B, 1 + N_img + L, emb_dim) token features.
         """
+        x, padding_mask = self.embed(image, text, text_padding_mask)
+        for blk in self.blocks:
+            x = blk(x, padding_mask)
+        return self.final_norm(x)
+
+    # Split entry points for pipeline parallelism (parallel/pp.py): ``embed``
+    # covers everything before the block stack, ``finalize`` everything after.
+    # __call__ == finalize(blocks(embed(...))) — pp drives the block stack
+    # itself via pipeline_blocks over the stacked block params.
+    def embed(self, image, text, text_padding_mask=None):
         c = self.config
         assert image is not None or text is not None
         batch = image.shape[0] if image is not None else text.shape[0]
-        parts = [jnp.broadcast_to(self.cls_token, (batch, 1, c.emb_dim)).astype(self.dtype)]
+        parts = [jnp.broadcast_to(self.cls_token,
+                                  (batch, 1, c.emb_dim)).astype(self.dtype)]
         masks = [jnp.zeros((batch, 1), dtype=jnp.float32)]
         if image is not None:
-            pos = jnp.asarray(get_2d_sincos_pos_embed_square(c.emb_dim, image.shape[1]))
+            pos = jnp.asarray(
+                get_2d_sincos_pos_embed_square(c.emb_dim, image.shape[1]))
             x = (jnp.matmul(image.astype(self.dtype),
                             self.image_kernel.astype(self.dtype),
                             preferred_element_type=jnp.float32).astype(self.dtype)
@@ -120,7 +132,8 @@ class M3AEEncoder(nn.Module):
             if c.use_type_embedding:
                 x = x + self.encoder_image_type_embedding
             parts.append(x.astype(self.dtype))
-            masks.append(jnp.zeros((batch, image.shape[1]), dtype=jnp.float32))
+            masks.append(jnp.zeros((batch, image.shape[1]),
+                                   dtype=jnp.float32))
         if text is not None:
             pos = jnp.asarray(get_1d_sincos_pos_embed(c.emb_dim, text.shape[1]))
             x = jnp.take(self.text_embedding_table, text, axis=0) + pos
@@ -130,8 +143,7 @@ class M3AEEncoder(nn.Module):
             if text_padding_mask is None:
                 text_padding_mask = jnp.zeros(text.shape, dtype=jnp.float32)
             masks.append(text_padding_mask.astype(jnp.float32))
-        x = jnp.concatenate(parts, axis=1)
-        padding_mask = jnp.concatenate(masks, axis=1)
-        for blk in self.blocks:
-            x = blk(x, padding_mask)
+        return jnp.concatenate(parts, axis=1), jnp.concatenate(masks, axis=1)
+
+    def finalize(self, x):
         return self.final_norm(x)

@@ -1,0 +1,156 @@
+"""GPipe-style pipeline parallelism over transformer blocks.
+
+The reference's only parallelism is single-process DataParallel
+(reference: main.py:732); dp/tp/sp already go beyond it (parallel/tp.py,
+sp.py). This module adds the remaining axis: the encoder's L blocks are
+split into S contiguous stages over the mesh's 'model' axis, and a batch is
+driven through as n_micro microbatches on a classic GPipe schedule —
+microbatch t occupies stage s at step t + s, activations hop stages over the
+ICI via ``lax.ppermute``. Built with ``shard_map`` (manual SPMD), so the
+schedule is explicit and XLA overlaps each stage's compute with the
+neighbor transfer.
+
+At this model family's flagship sizes (ViT-Base, 12 blocks) one chip holds
+the whole model, so pp is not the production default — it is the scaling
+path for the 'large'/'huge' configs (24/32 blocks, m3ae.py:226-268) and is
+certified the same way as dp/tp/sp: numerics vs the sequential encoder
+(tests/test_pp.py) and a multi-chip dryrun leg (__graft_entry__.dryrun_pp).
+
+Layout contract:
+  - block params are stacked: every leaf (L, ...) with dim 0 sharded
+    P('model') -> stage s holds rows [s*L/S, (s+1)*L/S)
+  - activations/batch enter sharded P('data') (pp composes with DP on the
+    'data' axis; each data-slice runs its own pipeline)
+  - the pipeline is differentiable end-to-end (ppermute/where/scan all have
+    transposes), so ``jax.grad`` through ``pipeline_blocks`` yields the
+    GPipe backward schedule automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mla_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def stack_block_params(params: Any, depth: int):
+    """Stack per-block param subtrees ``block_0..block_{L-1}`` (as produced
+    by the unrolled encoders, models/m3ae.py) into one pytree whose leaves
+    carry a leading (L,) block dimension."""
+    per_block = [params[f"block_{i}"] for i in range(depth)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_block)
+
+
+def unstack_block_params(stacked: Any, depth: int):
+    """Inverse of :func:`stack_block_params` (for checkpoint export)."""
+    return {f"block_{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(depth)}
+
+
+def shard_stacked(mesh: Mesh, stacked: Any):
+    """Place stacked block params with dim 0 (blocks) over the 'model' axis."""
+    sh = NamedSharding(mesh, P(MODEL_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+
+
+def _stage_apply(block, stage_params, x, mask):
+    """Run this stage's L/S blocks sequentially (lax.scan over the local
+    stacked params)."""
+    def body(h, p):
+        return block.apply({"params": p}, h, mask), None
+    h, _ = jax.lax.scan(body, x, stage_params)
+    return h
+
+
+def pipeline_blocks(block, stacked_params, x, padding_mask, mesh: Mesh,
+                    n_micro: int):
+    """Apply L stacked transformer blocks as an S-stage GPipe pipeline.
+
+    block: the (stateless) Flax block module (e.g. models.layers.M3AEBlock)
+    stacked_params: pytree with leading (L, ...) leaves, dim 0 sharded over
+        'model' (see shard_stacked)
+    x: (B, N, C) tokens, batch sharded over 'data'
+    padding_mask: (B, N) float mask, batch sharded over 'data'
+    n_micro: microbatches per data-slice; B/data_axis must divide by it.
+        Pipeline bubble fraction = (S-1)/(n_micro + S - 1).
+    """
+    n_stages = mesh.shape.get(MODEL_AXIS, 1)
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+
+    fn = functools.partial(_pipeline_device, block=block, n_stages=n_stages,
+                           n_micro=n_micro)
+    pspec = jax.tree_util.tree_map(lambda _: P(MODEL_AXIS), stacked_params)
+    out = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pspec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(stacked_params, x, padding_mask)
+    return out
+
+
+def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro):
+    """Per-device pipeline program (inside shard_map; 'model' = stage axis).
+
+    Every stage device holds its slice of the blocks and the full local
+    batch; stage 0 injects microbatch t at step t, stage s processes
+    microbatch t at step t + s, the last stage emits it at step
+    t + n_stages - 1. One activation hops per step via ppermute.
+    """
+    bl, n, c = x.shape
+    assert bl % n_micro == 0, (bl, n_micro)
+    mb = bl // n_micro
+    x_mb = x.reshape(n_micro, mb, n, c)
+    m_mb = mask.reshape(n_micro, mb, n)
+    sidx = jax.lax.axis_index(MODEL_AXIS)
+
+    carry = jnp.zeros_like(x_mb[0])
+    outs = jnp.zeros_like(x_mb)
+    fwd_ring = [(i, i + 1) for i in range(n_stages - 1)]
+
+    for t in range(n_micro + n_stages - 1):          # static schedule
+        # microbatch index this stage works on at step t (clipped; masked out
+        # when outside [0, n_micro) — those steps are bubble slots)
+        midx = jnp.clip(t - sidx, 0, n_micro - 1)
+        mask_in = m_mb[midx]
+        feed = x_mb[min(t, n_micro - 1)]
+        x_in = jnp.where(sidx == 0, feed, carry)
+        y = _stage_apply(block, stage_params, x_in, mask_in)
+        if t >= n_stages - 1:
+            oidx = t - (n_stages - 1)
+            outs = outs.at[oidx].set(
+                jnp.where(sidx == n_stages - 1, y, outs[oidx]))
+        if n_stages > 1:
+            carry = jax.lax.ppermute(y, MODEL_AXIS, fwd_ring)
+
+    # only the last stage holds real outputs; make them stage-replicated
+    outs = jax.lax.psum(
+        jnp.where(sidx == n_stages - 1, outs, jnp.zeros_like(outs)),
+        MODEL_AXIS)
+    return outs.reshape(bl, n, c)
+
+
+def pipeline_m3ae_encoder(encoder, variables, stacked_blocks, image, text,
+                          text_padding_mask, mesh: Mesh, n_micro: int):
+    """Full pipelined M3AE encoder forward: embed (stage-replicated, tiny)
+    -> S-stage pipelined block stack -> final LayerNorm.
+
+    ``stacked_blocks`` is the pre-stacked/sharded block pytree
+    (shard_stacked(mesh, stack_block_params(variables['params'], depth)));
+    pre-placing it once keeps the per-step cost to the pipeline itself.
+    """
+    from mla_tpu.models.layers import M3AEBlock
+    c = encoder.config
+    x, pmask = encoder.apply(variables, image, text, text_padding_mask,
+                             method=encoder.embed)
+    block = M3AEBlock(c.emb_dim, c.num_heads, c.mlp_ratio,
+                      dtype=encoder.dtype)
+    x = pipeline_blocks(block, stacked_blocks, x, pmask, mesh, n_micro)
+    return encoder.apply(variables, x, method=encoder.finalize)
