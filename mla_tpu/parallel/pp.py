@@ -58,17 +58,22 @@ def shard_stacked(mesh: Mesh, stacked: Any):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
 
 
-def _stage_apply(block, stage_params, x, mask):
+def _stage_apply(block, stage_params, x, mask, remat=False):
     """Run this stage's L/S blocks sequentially (lax.scan over the local
-    stacked params)."""
+    stacked params). With ``remat`` each block's activations are
+    rematerialized in the backward (GPipe's standard memory/FLOP trade —
+    without it every microbatch x block activation is live until its
+    backward step)."""
     def body(h, p):
         return block.apply({"params": p}, h, mask), None
+    if remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, x, stage_params)
     return h
 
 
 def pipeline_blocks(block, stacked_params, x, padding_mask, mesh: Mesh,
-                    n_micro: int):
+                    n_micro: int, remat: bool = False):
     """Apply L stacked transformer blocks as an S-stage GPipe pipeline.
 
     block: the (stateless) Flax block module (e.g. models.layers.M3AEBlock)
@@ -85,7 +90,7 @@ def pipeline_blocks(block, stacked_params, x, padding_mask, mesh: Mesh,
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
 
     fn = functools.partial(_pipeline_device, block=block, n_stages=n_stages,
-                           n_micro=n_micro)
+                           n_micro=n_micro, remat=remat)
     pspec = jax.tree_util.tree_map(lambda _: P(MODEL_AXIS), stacked_params)
     out = jax.shard_map(
         fn, mesh=mesh,
@@ -96,7 +101,8 @@ def pipeline_blocks(block, stacked_params, x, padding_mask, mesh: Mesh,
     return out
 
 
-def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro):
+def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro,
+                     remat=False):
     """Per-device pipeline program (inside shard_map; 'model' = stage axis).
 
     Every stage device holds its slice of the blocks and the full local
@@ -122,7 +128,7 @@ def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro):
         mask_in = m_mb[midx]
         feed = x_mb[min(t, n_micro - 1)]
         x_in = jnp.where(sidx == 0, feed, carry)
-        y = _stage_apply(block, stage_params, x_in, mask_in)
+        y = _stage_apply(block, stage_params, x_in, mask_in, remat=remat)
         if t >= n_stages - 1:
             oidx = t - (n_stages - 1)
             outs = outs.at[oidx].set(

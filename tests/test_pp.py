@@ -63,6 +63,22 @@ class TestPipelineBlocks:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4)
 
+    def test_remat_grad_matches(self):
+        """jax.checkpoint per block (remat=True) changes memory, not math."""
+        mesh, block, x, mask, params = _fixtures()
+        stacked = pp.shard_stacked(mesh, pp.stack_block_params(params, DEPTH))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+        g = jax.jit(jax.grad(lambda p: jnp.sum(
+            pp.pipeline_blocks(block, p, xs, ms, mesh, 2) ** 2)))(stacked)
+        g_r = jax.jit(jax.grad(lambda p: jnp.sum(
+            pp.pipeline_blocks(block, p, xs, ms, mesh, 2,
+                               remat=True) ** 2)))(stacked)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-4)
+
     def test_stack_roundtrip(self):
         _, _, _, _, params = _fixtures()
         rt = pp.unstack_block_params(pp.stack_block_params(params, DEPTH),
