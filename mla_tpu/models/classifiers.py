@@ -187,10 +187,13 @@ class M3AEClassifier(nn.Module, _FusionMixin):
     dtype: Dtype = jnp.float32
     modal3: bool = False
     text_vocab_size: int = 30522   # BERT vocab (m3ae.py:317)
+    scan_blocks: bool = False      # lax.scan block stack (fast compiles;
+                                   # stacked 'blocks' param layout)
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
-                         text_vocab_size=self.text_vocab_size)
+                         text_vocab_size=self.text_vocab_size,
+                         scan_blocks=self.scan_blocks)
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
@@ -232,9 +235,11 @@ class Modal3Classifier(nn.Module, _FusionMixin):
     dtype: Dtype = jnp.float32
     modal3: bool = True
     audio_length: int = 1024
+    scan_blocks: bool = False
 
     def setup(self):
-        cfg = M3AEConfig(model_type=self.model_type)
+        cfg = M3AEConfig(model_type=self.model_type,
+                         scan_blocks=self.scan_blocks)
         self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
                               dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
@@ -313,6 +318,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         kw.pop("qmf")
         return CAVClassifier(img_size=cfg.image_size or 224, **kw)
     if cfg.lorb == "m3ae":
+        kw["scan_blocks"] = cfg.scan_blocks
         if cfg.modal3:
             return Modal3Classifier(**kw)
         return M3AEClassifier(**kw)

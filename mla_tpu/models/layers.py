@@ -70,11 +70,16 @@ class Mlp(nn.Module):
 
 
 class M3AEBlock(nn.Module):
-    """Pre-LN block, -1e7 padding-mask attention (m3ae.py:131-160)."""
+    """Pre-LN block, -1e7 padding-mask attention (m3ae.py:131-160).
+
+    ``scan_cell=True`` returns the (carry, out) pair ``nn.scan`` expects, so
+    the same module serves both the unrolled stack and the scanned one
+    (M3AEEncoder scan_blocks; params stack on axis 0)."""
     emb_dim: int
     num_heads: int
     mlp_ratio: int = 4
     dtype: Dtype = jnp.float32
+    scan_cell: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
@@ -89,7 +94,8 @@ class M3AEBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.emb_dim, self.emb_dim, self.mlp_ratio, dtype=self.dtype,
                 name="mlp")(y)
-        return sp.constrain(x + y)
+        out = sp.constrain(x + y)
+        return (out, None) if self.scan_cell else out
 
 
 class CAVBlock(nn.Module):

@@ -201,7 +201,12 @@ def import_classifier(sd: Dict, cfg) -> Tuple[Dict, Dict]:
 def load_torch_checkpoint(path: str, cfg) -> Tuple[Dict, Dict]:
     import torch
     sd = torch.load(path, map_location="cpu")
-    return import_classifier(sd, cfg)
+    params, stats = import_classifier(sd, cfg)
+    if getattr(cfg, "scan_blocks", False):
+        # scan-blocks models keep block params stacked under 'blocks'
+        from mla_tpu.parallel.pp import to_scan_layout
+        params = to_scan_layout(params)
+    return params, stats
 
 
 ENCODER_KIND = {
@@ -229,6 +234,9 @@ def load_pretrained_encoders(cfg, params: Dict) -> Dict:
             continue
         sd = strip_module_prefix(torch.load(path, map_location="cpu"))
         imported = import_cavmae(sd) if kinds[net] == "cav" else import_m3ae(sd)
+        if getattr(cfg, "scan_blocks", False) and kinds[net] == "m3ae":
+            from mla_tpu.parallel.pp import to_scan_layout
+            imported = to_scan_layout(imported)
 
         def merge(dst, src, where=net):
             dst = dict(dst)

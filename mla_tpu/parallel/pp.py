@@ -52,6 +52,35 @@ def unstack_block_params(stacked: Any, depth: int):
             for i in range(depth)}
 
 
+def to_scan_layout(params: Any):
+    """Recursively convert every unrolled ``block_0..block_{L-1}`` family in
+    a param tree into the stacked ``blocks`` entry the scan_blocks encoders
+    use (models/m3ae.py). Dicts without block_i keys recurse unchanged —
+    works on whole classifier trees (mae_a / mae_v / mae_t)."""
+    if not isinstance(params, dict):
+        return params
+    if "block_0" in params:
+        depth = sum(1 for k in params if k.startswith("block_"))
+        out = {k: to_scan_layout(v) for k, v in params.items()
+               if not k.startswith("block_")}
+        out["blocks"] = stack_block_params(params, depth)
+        return out
+    return {k: to_scan_layout(v) for k, v in params.items()}
+
+
+def from_scan_layout(params: Any):
+    """Inverse of :func:`to_scan_layout`."""
+    if not isinstance(params, dict):
+        return params
+    if "blocks" in params and isinstance(params["blocks"], dict):
+        depth = jax.tree_util.tree_leaves(params["blocks"])[0].shape[0]
+        out = {k: from_scan_layout(v) for k, v in params.items()
+               if k != "blocks"}
+        out.update(unstack_block_params(params["blocks"], depth))
+        return out
+    return {k: from_scan_layout(v) for k, v in params.items()}
+
+
 def shard_stacked(mesh: Mesh, stacked: Any):
     """Place stacked block params with dim 0 (blocks) over the 'model' axis."""
     sh = NamedSharding(mesh, P(MODEL_AXIS))

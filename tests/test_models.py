@@ -178,3 +178,61 @@ class TestExtraFusionHeads:
                                     False, bias_div=False)
         np.testing.assert_allclose(np.asarray(sl["a"] + sl["v"]),
                                    np.asarray(out), atol=1e-5)
+
+
+class TestScanBlocks:
+    """scan_blocks (models/m3ae.py): lax.scan over one stacked block must be
+    bit-identical to the unrolled stack, with pp.to_scan_layout converting
+    checkpoints between the two param layouts."""
+
+    def _fixtures(self):
+        from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
+        rng = np.random.default_rng(0)
+        image = jnp.asarray(rng.standard_normal((4, 4, 768)), jnp.float32)
+        text = jnp.asarray(rng.integers(0, 64, (4, 8)), jnp.int32)
+        tmask = jnp.zeros((4, 8), jnp.float32).at[:, 6:].set(1.0)
+        enc_u = M3AEEncoder(M3AEConfig(model_type="debug",
+                                       text_vocab_size=64), jnp.float32)
+        enc_s = M3AEEncoder(M3AEConfig(model_type="debug", text_vocab_size=64,
+                                       scan_blocks=True), jnp.float32)
+        return enc_u, enc_s, image, text, tmask
+
+    def test_encoder_bit_identical(self):
+        from mla_tpu.parallel import pp
+        enc_u, enc_s, image, text, tmask = self._fixtures()
+        vu = enc_u.init(jax.random.key(0), image, text, tmask)
+        ps = pp.to_scan_layout(vu["params"])
+        out_u = enc_u.apply(vu, image, text, tmask)
+        out_s = enc_s.apply({"params": ps}, image, text, tmask)
+        np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_s))
+
+    def test_layout_roundtrip(self):
+        from mla_tpu.parallel import pp
+        enc_u, _, image, text, tmask = self._fixtures()
+        vu = enc_u.init(jax.random.key(0), image, text, tmask)
+        rt = pp.from_scan_layout(pp.to_scan_layout(vu["params"]))
+        for a, b in zip(jax.tree_util.tree_leaves(rt),
+                        jax.tree_util.tree_leaves(vu["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_classifier_forward_matches(self):
+        """Full M3AEClassifier: unrolled vs scan_blocks with converted
+        params — covers both encoders + head through build paths."""
+        from mla_tpu.models.classifiers import M3AEClassifier
+        from mla_tpu.parallel import pp
+        rng = np.random.default_rng(1)
+        batch = {"token": jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32),
+                 "padding_mask": jnp.zeros((2, 16), jnp.float32),
+                 "image": jnp.asarray(rng.standard_normal((2, 3, 32, 32)),
+                                      jnp.float32)}
+        kw = dict(n_classes=3, gs_flag=True, model_type="debug",
+                  text_vocab_size=64, dtype=jnp.float32)
+        mu = M3AEClassifier(**kw)
+        ms = M3AEClassifier(scan_blocks=True, **kw)
+        vu = mu.init(jax.random.key(0), batch, train=False)
+        vs = {"params": pp.to_scan_layout(vu["params"])}
+        ou = mu.apply(vu, batch, train=False)
+        os_ = ms.apply(vs, batch, train=False)
+        for k in ou:
+            np.testing.assert_array_equal(np.asarray(ou[k]),
+                                          np.asarray(os_[k]))
