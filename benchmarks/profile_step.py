@@ -104,8 +104,6 @@ def main():
         def loss_fn(p, b, m=m):
             logits, feat, _ = steps_lib._apply_encode_head(model, p, bs, b, m)
             return steps_lib.masked_ce(logits, b["label"], b["valid"])
-        g = lambda p, b, m=m: jax.tree_util.tree_leaves(
-            jax.grad(functools.partial(loss_fn, m=m))(p, b))[0]
         dt, fl, by = timed(lambda p, b, m=m: jax.grad(
             functools.partial(loss_fn, m=m))(p, b)["fusion_module"]["fc_out"]
             ["kernel"].astype(jnp.float32).sum(),

@@ -20,23 +20,30 @@ import numpy as np
 from mla_tpu.parallel.mesh import batch_sharding
 
 
+def pad_rows(hb: Dict[str, np.ndarray], n_real: int, width: int,
+             idx_sentinel: int) -> Dict[str, np.ndarray]:
+    """Single source of the padded-batch semantics: zero rows beyond
+    ``n_real`` up to ``width``, a float ``valid`` mask, and padded ``idx``
+    rows pointed at the sentinel slot (``n_data`` — the QMF scratch row).
+    Used by both collate_pad and the loader's host-batch path."""
+    if n_real < width:
+        hb = {k: np.concatenate(
+            [v[:n_real], np.zeros((width - n_real,) + v.shape[1:], v.dtype)])
+            for k, v in hb.items()}
+    hb["valid"] = np.concatenate(
+        [np.ones(n_real, np.float32), np.zeros(width - n_real, np.float32)])
+    if "idx" in hb:
+        hb["idx"] = hb["idx"].astype(np.int32)
+        hb["idx"][n_real:] = idx_sentinel
+    return hb
+
+
 def collate_pad(samples, batch_size: int, n_data: int) -> Dict[str, np.ndarray]:
-    """Stack sample dicts; pad to batch_size repeating the last sample, with
-    valid=0 and idx=n_data (the QMF scratch slot) for padded rows."""
-    n = len(samples)
-    keys = samples[0].keys()
-    out = {}
-    for k in keys:
-        arrs = [np.asarray(s[k]) for s in samples]
-        if n < batch_size:
-            arrs += [np.zeros_like(arrs[-1])] * (batch_size - n)
-        out[k] = np.stack(arrs)
-    out["valid"] = np.concatenate(
-        [np.ones(n, np.float32), np.zeros(batch_size - n, np.float32)])
-    if "idx" in out:
-        out["idx"] = out["idx"].astype(np.int32)
-        out["idx"][n:] = n_data
-    return out
+    """Stack sample dicts; pad to batch_size with zero rows, valid=0 and
+    idx=n_data (the QMF scratch slot) for padded rows."""
+    out = {k: np.stack([np.asarray(s[k]) for s in samples])
+           for k in samples[0].keys()}
+    return pad_rows(out, len(samples), batch_size, n_data)
 
 
 class Loader:
@@ -120,20 +127,7 @@ class Loader:
                         zip(idxs, rngs)))
                     hb = {k: np.stack([np.asarray(s[k]) for s in samples])
                           for k in samples[0]}
-                if n_real == 0:
-                    hb = {k: np.zeros_like(v[:0]) for k, v in hb.items()}
-                if n_real < width:
-                    hb = {k: np.concatenate(
-                        [v, np.zeros((width - n_real,) + v.shape[1:],
-                                     v.dtype)])
-                        for k, v in hb.items()}
-                hb["valid"] = np.concatenate(
-                    [np.ones(n_real, np.float32),
-                     np.zeros(width - n_real, np.float32)])
-                if "idx" in hb:
-                    hb["idx"] = hb["idx"].astype(np.int32)
-                    hb["idx"][n_real:] = self.n
-                yield hb
+                yield pad_rows(hb, n_real, width, self.n)
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)

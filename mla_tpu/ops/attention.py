@@ -269,29 +269,50 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
 # sharded. Verified: no all-gather in the compiled (4,2)-mesh HLO and
 # bit-identical output (tests/test_tp.py).
 
+def _keep_dims(sharding, keep):
+    """Sharding with only the axes in ``keep`` retained — the kernels need
+    the full sequence and head-dim per shard, so S/D (and the mask's token
+    axis) must be replicated. Returning a stripped sharding here makes GSPMD
+    insert the gather when an upstream pass (e.g. SP's token sharding)
+    proposes splitting a kernel-local dim — instead of silently running a
+    per-shard softmax over a subset of keys."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    if not isinstance(sharding, NamedSharding):
+        return sharding   # opaque sharding: pass through unmodified
+    spec = list(sharding.spec) + [None] * 4
+    new = [spec[i] if i in keep else None for i in range(len(sharding.spec))]
+    while new and new[-1] is None:
+        new.pop()
+    return NamedSharding(sharding.mesh, PartitionSpec(*new))
+
+
 def _sp_infer(*args):
-    # result takes q's sharding: (B, H, S, D) -> (B, H, S, D), same layout
+    # result takes q's sharding on (B, H); S/D stay kernel-local
     arg_shapes = args[-2]
-    return arg_shapes[0].sharding
+    return _keep_dims(arg_shapes[0].sharding, {0, 1})
 
 
 def _sp_infer_bwd(*args):
     arg_shapes = args[-2]
-    return tuple(s.sharding for s in arg_shapes[:3])
+    return tuple(_keep_dims(s.sharding, {0, 1}) for s in arg_shapes[:3])
 
 
 def _sp_partition_fwd(interpret, mesh, arg_shapes, result_shape):
     def lower(q, k, v, m):
         return flash_attention(q, k, v, m, interpret=interpret)
-    return (mesh, lower, result_shape.sharding,
-            tuple(a.sharding for a in arg_shapes))
+    arg_sh = tuple(_keep_dims(a.sharding, {0, 1}) for a in arg_shapes[:3]) \
+        + (_keep_dims(arg_shapes[3].sharding, {0}),)
+    return (mesh, lower, _keep_dims(result_shape.sharding, {0, 1}), arg_sh)
 
 
 def _sp_partition_bwd(interpret, mesh, arg_shapes, result_shape):
     def lower(q, k, v, do, m):
         return flash_attention_bwd(q, k, v, do, m, interpret=interpret)
-    return (mesh, lower, tuple(r.sharding for r in result_shape),
-            tuple(a.sharding for a in arg_shapes))
+    arg_sh = tuple(_keep_dims(a.sharding, {0, 1}) for a in arg_shapes[:4]) \
+        + (_keep_dims(arg_shapes[4].sharding, {0}),)
+    return (mesh, lower,
+            tuple(_keep_dims(r.sharding, {0, 1}) for r in result_shape),
+            arg_sh)
 
 
 flash_attention_sp = custom_partitioning(

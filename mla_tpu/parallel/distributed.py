@@ -34,14 +34,6 @@ def initialize(cfg) -> bool:
     return True
 
 
-def process_count() -> int:
-    return jax.process_count()
-
-
-def process_index() -> int:
-    return jax.process_index()
-
-
 def host_row_block(global_batch: int, sharding) -> tuple:
     """This process's contiguous [lo, hi) row range of a batch-sharded array.
 
@@ -49,10 +41,13 @@ def host_row_block(global_batch: int, sharding) -> tuple:
     process-contiguous (the jax.devices() default), each process owns a
     contiguous row block. Computed exactly from the sharding's index map so a
     reordered mesh fails loudly rather than silently misfeeding rows.
+    Devices along the model axis replicate the same rows, so the per-device
+    ranges are deduplicated before the contiguity check (a (d, m>1) mesh
+    yields each row block once per model replica).
     """
     imap = sharding.addressable_devices_indices_map((global_batch,))
-    rows = sorted((idx[0].start or 0, idx[0].stop if idx[0].stop is not None
-                   else global_batch) for idx in imap.values())
+    rows = sorted({(idx[0].start or 0, idx[0].stop if idx[0].stop is not None
+                    else global_batch) for idx in imap.values()})
     lo, hi = rows[0][0], rows[-1][1]
     covered = sum(b - a for a, b in rows)
     if covered != hi - lo:

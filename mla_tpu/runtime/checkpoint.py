@@ -23,15 +23,20 @@ from mla_tpu.train.state import TrainState
 
 
 def _localize(x):
-    """Host-local view of a (replicated) global array with NO program dispatch.
+    """Host-local full view of a global array.
 
-    Under multi-host DP the state is fully replicated; reading a local shard
-    is a pure D2H copy. Dispatching any computation here (even key_data) risks
-    creating new cross-host collective cliques at checkpoint time, which hangs
-    if peer processes have already moved on or exited."""
+    Under multi-host DP the state is fully replicated and reading a local
+    shard is a pure D2H copy — no program dispatch (dispatching from only
+    some processes at checkpoint time would hang on a half-formed collective
+    clique). Under multi-host TP (mesh (d, m>1)) the transformer kernels are
+    model-sharded, so those leaves are first resharded to replicated with an
+    identity jit; that IS a collective, which is safe exactly because every
+    process runs save_checkpoint over the identical tree in the same order."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         if not x.is_fully_replicated:
-            raise ValueError("checkpoint state leaves must be replicated")
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(x.sharding.mesh, PartitionSpec())
+            x = jax.jit(lambda a: a, out_shardings=repl)(x)
         return x.addressable_shards[0].data
     return x
 
@@ -77,6 +82,7 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, meta: Dict[str, Any],
 # handled inside Orbax.
 
 _ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+_PENDING_META: Optional[tuple] = None       # (path, meta) of the in-flight save
 
 
 def _async_ckptr() -> ocp.AsyncCheckpointer:
@@ -90,20 +96,30 @@ def save_checkpoint_async(ckpt_dir: str, state: TrainState,
                           meta: Dict[str, Any], name: str = "best") -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     saveable = _to_saveable(state)          # sync D2H snapshot
-    ckptr = _async_ckptr()
-    ckptr.wait_until_finished()             # at most one in-flight save
-    ckptr.save(path, saveable, force=True)
-    if jax.process_index() == 0:
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+    wait_for_async_saves()                  # flush previous save + its meta
+    _async_ckptr().save(path, saveable, force=True)
+    # meta.json is written only AFTER the data write commits (at the next
+    # flush point), preserving the sync path's data-then-meta ordering: a
+    # crash mid-write can leave stale/partial data, but never a meta file
+    # describing a checkpoint that was not fully committed.
+    global _PENDING_META
+    _PENDING_META = (path, meta)
     return path
 
 
 def wait_for_async_saves() -> None:
-    """Block until any in-flight async checkpoint write has committed
-    (call before reading the checkpoint back or exiting the driver)."""
+    """Block until any in-flight async checkpoint write has committed, then
+    write its meta.json (call before reading the checkpoint back or exiting
+    the driver)."""
+    global _PENDING_META
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    if _PENDING_META is not None:
+        path, meta = _PENDING_META
+        _PENDING_META = None
+        if jax.process_index() == 0:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:

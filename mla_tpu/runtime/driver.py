@@ -63,6 +63,15 @@ def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
 
 def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     """Train (cfg.train) or evaluate a checkpoint (not cfg.train)."""
+    from mla_tpu.parallel import sp
+    sp.disable()  # never inherit a previous run's token sharding
+    try:
+        return _run(cfg, max_steps_per_epoch)
+    finally:
+        sp.disable()  # the SP trace-time global must not outlive this run
+
+
+def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     np.random.seed(cfg.random_seed)          # setup_seed (utils.py:98-103);
     # JAX randomness is explicit PRNG-key threading — deterministic by design.
 
@@ -103,7 +112,9 @@ def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         # token-shard the residual stream between blocks (parallel/sp.py);
         # trace-time switch — must be set before the steps below are jitted
         from mla_tpu.parallel import sp
-        sp.enable(mesh)
+        if not sp.enable(mesh):
+            print("WARNING: --seq_parallel ignored — mesh has no model axis "
+                  "(need --mesh_shape d,m with m > 1)")
 
     len_dl = len(train_loader)
     train_step = jax.jit(

@@ -55,6 +55,23 @@ class TestPallasAttentionPartitioning:
         hlo = f.lower(qs, ks, vs, ms, True).compile().as_text()
         assert "all-gather" not in hlo
 
+    def test_sequence_sharded_operands_regathered(self):
+        """A token/sequence-sharded k/v (what SP's residual sharding can
+        propagate to) must be re-gathered by the partition rule — the kernel
+        needs every key per shard; a per-shard softmax would be silently
+        wrong (code-review r2 finding)."""
+        from mla_tpu.ops import attention as A
+        mesh = make_mesh(mesh_shape=(4, 2))
+        q, k, v, _, mask = self._operands()
+        seq_sh = NamedSharding(mesh, P("data", None, "model"))  # S sharded!
+        qs, ks, vs = (jax.device_put(x, seq_sh) for x in (q, k, v))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("data", "model")))
+        out = jax.jit(A.flash_attention_sp, static_argnums=(4,))(
+            qs, ks, vs, ms, True)
+        ref = A.attention_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_backward_partitions_no_gather(self):
         from mla_tpu.ops import attention as A
         mesh = make_mesh(mesh_shape=(4, 2))
@@ -114,6 +131,19 @@ class TestSequenceParallel:
         assert not sp.enable(mesh)
         x = jnp.ones((2, 4, 8))
         assert sp.constrain(x) is x
+
+
+class TestHostRowBlock:
+    def test_model_axis_replicas_deduped(self):
+        """(d, m>1) meshes replicate each data row-block across the model
+        axis; host_row_block must dedupe instead of declaring the rows
+        non-contiguous (code-review r2 finding)."""
+        from mla_tpu.parallel import distributed
+        from mla_tpu.parallel.mesh import batch_sharding, make_mesh as mk
+        for shape in ((8, 1), (4, 2), (2, 4)):
+            lo, hi = distributed.host_row_block(
+                16, batch_sharding(mk(mesh_shape=shape)))
+            assert (lo, hi) == (0, 16), (shape, lo, hi)
 
 
 class TestTensorParallel:
