@@ -192,3 +192,35 @@ class TestAttention:
         ours = attention.flash_attention(q, k, v, interpret=True)
         ref = attention.attention_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_head_chunk_divisors(self):
+        # largest divisor of H whose fp32 score tensors fit the budget
+        assert attention._head_chunk(12, 384, n_live=2) == 6
+        assert attention._head_chunk(12, 640, n_live=2) == 2
+        assert attention._head_chunk(12, 640, n_live=3) == 1
+        assert attention._head_chunk(7, 384, n_live=2) == 1   # prime H
+        assert attention._head_chunk(16, 128, n_live=2) == 16
+
+    def test_prime_head_count(self):
+        # GH=1 path: head counts that divide nothing still work
+        q, k, v = self._rand_qkv(b=1, h=3, s=100, d=32, seed=5)
+        mask = jnp.zeros((1, 100), jnp.float32).at[:, 80:].set(1.0)
+        ours = attention.flash_attention(q, k, v, mask, interpret=True)
+        ref = attention.attention_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_long_sequence_qblockwise_fallback(self, monkeypatch):
+        """Sequences whose scores outgrow the VMEM budget take the
+        q-blockwise kernel; same numerics (long-context path, SURVEY §5.7).
+        The budget is shrunk so the fallback engages at test-size shapes."""
+        monkeypatch.setattr(attention, "_SCORE_VMEM_BUDGET", 1024)
+        q, k, v = self._rand_qkv(b=1, h=2, s=160, d=32, seed=6)
+        mask = jnp.zeros((1, 160), jnp.float32).at[:, 130:].set(1.0)
+        ours = attention.flash_attention(q, k, v, mask, interpret=True)
+        ref = attention.attention_reference(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5)
+        # and the auto VJP policy never picks a Pallas bwd that can't fit
+        assert not attention._use_pallas_bwd(2000)
+        assert attention._use_pallas_bwd(513)
