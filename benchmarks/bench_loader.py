@@ -27,7 +27,7 @@ from mla_tpu.data.datasets import build_adapter  # noqa: E402
 from mla_tpu.data.pipeline import Loader  # noqa: E402
 
 # measured on 1x v5e (BASELINE.md config matrix): Food-101 m3ae MLA train step
-TPU_M3AE_CLIPS_PER_S = 282.0
+TPU_M3AE_CLIPS_PER_S = 299.0
 
 
 def main():

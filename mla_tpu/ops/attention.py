@@ -132,6 +132,38 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
         padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
     padding_mask = padding_mask.astype(jnp.float32)
 
+    # Head-chunked branch: the sequence is a sublane dimension inside the
+    # kernel (scores rows / q rows), so it only needs 8-alignment — padding
+    # 257 -> 264 instead of -> 384 measures 0.62 vs 0.75 ms/op at the m3ae
+    # shape (17% less score-matrix work). The q-blockwise fallback tiles S
+    # into 128-row q blocks and keeps 128-alignment.
+    sp8 = s + (-s) % 8
+    gh = _head_chunk(h, sp8, n_live=2)
+    if gh * sp8 * sp8 * 4 * 2 <= _SCORE_VMEM_BUDGET * 2:
+        qp = _pad_to(q, 2, 8)
+        kp = _pad_to(k, 2, 8)
+        vp = _pad_to(v, 2, 8)
+        mp = _pad_to(padding_mask + 0.0, 1, 8)
+        if mp.shape[1] != s:
+            mp = mp.at[:, s:].set(1.0)   # padded keys masked out
+        mp = mp[:, None, :]
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_heads, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            grid=(b, h // gh),
+            in_specs=[
+                pl.BlockSpec((1, gh, sp8, d), lambda bi, hi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec((1, 1, sp8), lambda bi, hi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, gh, sp8, d),
+                                   lambda bi, hi: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(qp, kp, vp, mp)
+        return out[:, :, :s, :]
+
     qp = _pad_to(q, 2, _QBLOCK)
     kp = _pad_to(k, 2, _QBLOCK)
     vp = _pad_to(v, 2, _QBLOCK)
@@ -142,26 +174,6 @@ def flash_attention(q, k, v, padding_mask=None, scale=None, interpret=False):
     sp = qp.shape[2]
     nq = sp // _QBLOCK
     mp = mp[:, None, :]  # (B, 1, Sp) — TPU block tiling needs >=2 trailing dims
-
-    gh = _head_chunk(h, sp, n_live=2)
-    if gh * sp * sp * 4 * 2 <= _SCORE_VMEM_BUDGET * 2:
-        # head-chunked full-S kernel (see note above): GH heads per grid step
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_heads, scale=scale),
-            out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            grid=(b, h // gh),
-            in_specs=[
-                pl.BlockSpec((1, gh, sp, d), lambda bi, hi: (bi, hi, 0, 0),
-                             memory_space=pltpu.VMEM)] * 3 + [
-                pl.BlockSpec((1, 1, sp), lambda bi, hi: (bi, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, gh, sp, d),
-                                   lambda bi, hi: (bi, hi, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(qp, kp, vp, mp)
-        return out[:, :, :s, :]
 
     grid = (b, h, nq)
     out = pl.pallas_call(
@@ -229,11 +241,12 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
     b, h, s, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    qp = _pad_to(q, 2, _QBLOCK)
-    kp = _pad_to(k, 2, _QBLOCK)
-    vp = _pad_to(v, 2, _QBLOCK)
-    dop = _pad_to(do, 2, _QBLOCK)
-    mp = _pad_to(padding_mask.astype(jnp.float32), 1, _QBLOCK)
+    # sublane (8-) alignment suffices here too — see the forward's note
+    qp = _pad_to(q, 2, 8)
+    kp = _pad_to(k, 2, 8)
+    vp = _pad_to(v, 2, 8)
+    dop = _pad_to(do, 2, 8)
+    mp = _pad_to(padding_mask.astype(jnp.float32), 1, 8)
     if mp.shape[1] != s:
         mp = mp.at[:, s:].set(1.0)
     mp = mp[:, None, :]
@@ -363,7 +376,7 @@ def set_pallas_backward(enable):
 def _use_pallas_bwd(s: int) -> bool:
     if _FORCE_PALLAS_BWD is not None:
         return _FORCE_PALLAS_BWD
-    return s + (-s) % _QBLOCK <= 1024
+    return s + (-s) % 8 <= 1024
 
 
 def _flash_mha_fwd(q, k, v, padding_mask):
