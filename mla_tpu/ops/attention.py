@@ -252,6 +252,16 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
     mp = mp[:, None, :]
     sp = qp.shape[2]
 
+    # Unlike the forward (which has a q-blockwise long-sequence fallback),
+    # this kernel needs three fp32 (S, S) intermediates per head chunk; once
+    # even GH=1 exceeds the VMEM headroom it would die at Mosaic compile
+    # time. Fail with an actionable error instead (_use_pallas_bwd routes to
+    # the XLA backward before this point on the default policy path).
+    if 3 * sp * sp * 4 > 2 * _SCORE_VMEM_BUDGET:
+        raise ValueError(
+            f"flash_attention_bwd: padded sequence {sp} exceeds the VMEM "
+            "budget even at one head per grid step; use the XLA backward "
+            "(set_pallas_backward(False) or the default shape policy)")
     gh = _head_chunk(h, sp, n_live=3)
     hspec = pl.BlockSpec((1, gh, sp, d), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -291,7 +301,13 @@ def _keep_dims(sharding, keep):
     per-shard softmax over a subset of keys."""
     from jax.sharding import NamedSharding, PartitionSpec
     if not isinstance(sharding, NamedSharding):
-        return sharding   # opaque sharding: pass through unmodified
+        # An opaque (e.g. GSPMDSharding) spec could hide a split sequence
+        # dim; passing it through would let a per-shard kernel softmax over
+        # a subset of keys silently. Fail loud instead.
+        raise TypeError(
+            "flash_attention custom_partitioning expected a NamedSharding, "
+            f"got {type(sharding).__name__}; wrap the call site in a "
+            "Mesh/NamedSharding context (or replicate the operands)")
     spec = list(sharding.spec) + [None] * 4
     new = [spec[i] if i in keep else None for i in range(len(sharding.spec))]
     while new and new[-1] is None:

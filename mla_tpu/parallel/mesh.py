@@ -36,6 +36,19 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         raise ValueError(f"mesh_shape {tuple(mesh_shape)} needs {n} devices, "
                          f"have {len(devices)}")
     grid = devices[:n].reshape(mesh_shape)  # subset meshes allowed
+    if n < len(devices) and jax.process_count() > 1:
+        # A subset mesh that excludes every device of some process would make
+        # that process's loader row-block empty and fail later with an opaque
+        # IndexError (data/pipeline.py host_row_block); diagnose it here.
+        procs = {d.process_index for d in grid.flat}
+        missing = sorted(set(range(jax.process_count())) - procs)
+        if missing:
+            raise ValueError(
+                f"mesh_shape {tuple(mesh_shape)} uses only the first {n} of "
+                f"{len(devices)} devices and leaves process(es) {missing} "
+                "with no mesh device; in a multi-host run every process must "
+                "own at least one mesh device (use a process-aligned subset "
+                "or the full device set)")
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -57,16 +57,28 @@ def leaf_pspec(path, leaf, n_model: int) -> P:
         return P()
     parent, leaf_name = names[-2], names[-1]
     shape = jax.numpy.shape(leaf)
+    # --scan_blocks stacks every block leaf with a leading (L, ...) depth dim
+    # under a 'blocks' subtree (parallel/pp.py to_scan_layout); the TP rules
+    # apply to the trailing feature dims, depth stays unsharded.
+    stacked = "blocks" in names
     if parent in _COL_PARALLEL:
         if leaf_name == "kernel" and len(shape) == 2 \
                 and shape[1] % n_model == 0:
             return P(None, MODEL_AXIS)
+        if stacked and leaf_name == "kernel" and len(shape) == 3 \
+                and shape[2] % n_model == 0:
+            return P(None, None, MODEL_AXIS)
         if leaf_name == "bias" and len(shape) == 1 \
                 and shape[0] % n_model == 0:
             return P(MODEL_AXIS)
-    if parent in _ROW_PARALLEL and leaf_name == "kernel" \
-            and len(shape) == 2 and shape[0] % n_model == 0:
-        return P(MODEL_AXIS, None)
+        if stacked and leaf_name == "bias" and len(shape) == 2 \
+                and shape[1] % n_model == 0:
+            return P(None, MODEL_AXIS)
+    if parent in _ROW_PARALLEL and leaf_name == "kernel":
+        if len(shape) == 2 and shape[0] % n_model == 0:
+            return P(MODEL_AXIS, None)
+        if stacked and len(shape) == 3 and shape[1] % n_model == 0:
+            return P(None, MODEL_AXIS, None)
     return P()
 
 

@@ -146,8 +146,25 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
 
 
 def load_meta(path: str) -> Dict[str, Any]:
-    with open(os.path.abspath(path) + ".meta.json") as f:
-        return json.load(f)
+    """Checkpoint metadata. A crash between the async data commit and the
+    deferred meta.json write (save_checkpoint_async) can leave a fully
+    committed checkpoint with no meta file — the weights are valid, so
+    reconstruct what the directory name encodes instead of failing."""
+    path = os.path.abspath(path)
+    try:
+        with open(path + ".meta.json") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        if not os.path.isdir(path):
+            raise
+        meta: Dict[str, Any] = {"reconstructed": True}
+        # best-ckpt names embed epoch/acc (driver.py name template)
+        import re
+        m = re.search(r"epoch_(\d+)_acc_([\d.]+)$", os.path.basename(path))
+        if m:
+            meta["saved_epoch"] = int(m.group(1))
+            meta["acc"] = float(m.group(2).rstrip("."))
+        return meta
 
 
 def warm_start_params(path: str, params):

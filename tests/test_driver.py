@@ -133,3 +133,24 @@ class TestCheckpointUtils:
             ckpt_lib.save_checkpoint(str(tmp_path), st, {}, f"c{i}")
         avg = ckpt_lib.wa_params(str(tmp_path))
         np.testing.assert_allclose(np.asarray(avg["w"]), 2.0)
+
+
+class TestMetaReconstruction:
+    def test_load_meta_missing_file_reconstructs(self, tmp_path):
+        """An async-save crash window can leave a committed checkpoint with
+        no meta.json; load_meta must reconstruct from the dir name instead
+        of raising (ADVICE r2)."""
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        name = ("best_model_of_dataset_CREMAD_Normal_alpha_0.3_optimizer_"
+                "sgd_modulate_starts_0_ends_50_epoch_7_acc_0.625")
+        d = tmp_path / name
+        d.mkdir()
+        meta = ckpt_lib.load_meta(str(d))
+        assert meta["reconstructed"] is True
+        assert meta["saved_epoch"] == 7
+        assert meta["acc"] == 0.625
+
+    def test_load_meta_no_checkpoint_still_raises(self, tmp_path):
+        from mla_tpu.runtime import checkpoint as ckpt_lib
+        with pytest.raises(FileNotFoundError):
+            ckpt_lib.load_meta(str(tmp_path / "nonexistent"))

@@ -224,3 +224,22 @@ class TestAttention:
         # and the auto VJP policy never picks a Pallas bwd that can't fit
         assert not attention._use_pallas_bwd(2000)
         assert attention._use_pallas_bwd(513)
+
+    def test_bwd_long_sequence_raises_actionable(self, monkeypatch):
+        """flash_attention_bwd has no q-blockwise fallback; beyond the VMEM
+        budget it must fail loud at trace time, not at Mosaic compile
+        (ADVICE r2). The budget is shrunk so the guard fires at test shapes."""
+        monkeypatch.setattr(attention, "_SCORE_VMEM_BUDGET", 1024)
+        q, k, v = self._rand_qkv(b=1, h=2, s=160, d=32, seed=7)
+        mask = jnp.zeros((1, 160), jnp.float32)
+        with pytest.raises(ValueError, match="VMEM budget"):
+            attention.flash_attention_bwd(q, k, v, q, mask, interpret=True)
+
+    def test_keep_dims_rejects_opaque_shardings(self):
+        """Non-NamedShardings must not pass through the partitioning rules:
+        an opaque spec could hide a split sequence dim and the per-shard
+        kernel would softmax over a subset of keys (ADVICE r2)."""
+        class Opaque:
+            pass
+        with pytest.raises(TypeError, match="NamedSharding"):
+            attention._keep_dims(Opaque(), {0, 1})

@@ -222,3 +222,40 @@ class TestTensorParallel:
                         jax.tree_util.tree_leaves(s3.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+
+
+class TestStackedTPRules:
+    def test_leaf_rules_stacked(self):
+        """--scan_blocks stacks block leaves to (L, ...) under 'blocks';
+        TP rules must shard the trailing feature dims (ADVICE r2 — without
+        3-D rules the whole stack silently replicated under a model axis)."""
+        mesh = make_mesh(mesh_shape=(4, 2))
+        L = 3
+        fake = {"params": {"mae_v": {"blocks": {
+            "attn": {"qkv": {"kernel": jnp.zeros((L, 8, 24)),
+                             "bias": jnp.zeros((L, 24))},
+                     "proj": {"kernel": jnp.zeros((L, 8, 8)),
+                              "bias": jnp.zeros((L, 8))}},
+            "mlp": {"fc1": {"kernel": jnp.zeros((L, 8, 32))},
+                    "fc2": {"kernel": jnp.zeros((L, 32, 8))}}}}}}
+        sh = tp.state_shardings(mesh, fake)
+        blk = sh["params"]["mae_v"]["blocks"]
+        assert blk["attn"]["qkv"]["kernel"].spec == P(None, None, "model")
+        assert blk["attn"]["qkv"]["bias"].spec == P(None, "model")
+        assert blk["attn"]["proj"]["kernel"].spec == P(None, "model", None)
+        assert blk["attn"]["proj"]["bias"].spec == P()
+        assert blk["mlp"]["fc1"]["kernel"].spec == P(None, None, "model")
+        assert blk["mlp"]["fc2"]["kernel"].spec == P(None, "model", None)
+
+
+class TestSubsetMeshValidation:
+    def test_multihost_subset_excluding_a_process_raises(self, monkeypatch):
+        """A subset mesh that strands a process with no devices must fail
+        with a diagnostic, not a downstream loader IndexError (ADVICE r2)."""
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="no mesh device"):
+            make_mesh(mesh_shape=(4, 1))  # CPU devices are all process 0
+
+    def test_single_host_subset_ok(self):
+        m = make_mesh(mesh_shape=(4, 1))
+        assert m.shape["data"] == 4
