@@ -76,6 +76,15 @@ class MLAConfig:
     # --- checkpointing / logging ---
     ckpt_path: str = "ckpt"
     ckpt_load_path_train: Optional[str] = None
+    resume: Optional[str] = None     # checkpoint dir to resume training from:
+                                     # restores the FULL TrainState (params,
+                                     # optimizer, BN stats, GS/QMF stores, RNG)
+                                     # + epoch/best-acc, then continues the
+                                     # epoch loop. Beyond the reference, which
+                                     # has no mid-run resume (main.py:916-953).
+    save_last: bool = True           # write a rolling 'last' checkpoint each
+                                     # epoch (async) so --resume always has a
+                                     # recent restart point
     train: bool = False
     use_tensorboard: bool = True
     tensorboard_path: str = "ckpt/"
@@ -236,6 +245,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_alpha", default=d.t_alpha, type=float)
     p.add_argument("--clip", action="store_true")
     p.add_argument("--ckpt_load_path_train", default=None, type=str)
+    p.add_argument("--resume", default=None, type=str,
+                   help="checkpoint dir (e.g. <ckpt_path>/last) to resume "
+                        "training from: full TrainState + epoch + best-acc")
+    p.add_argument("--no_save_last", action="store_true",
+                   help="skip the rolling per-epoch 'last' checkpoint")
     # Flags the reference uses but forgot to define:
     p.add_argument("--mask_percent", default=d.mask_percent, type=float)
     p.add_argument("--mask_m", default=d.mask_m, type=str)
@@ -283,6 +297,7 @@ def config_from_args(argv=None) -> MLAConfig:
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(MLAConfig)
           if hasattr(ns, f.name)}
     kw["ghost_updates"] = not ns.no_ghost_updates
+    kw["save_last"] = not ns.no_save_last
     if ns.mesh_shape:
         kw["mesh_shape"] = tuple(int(x) for x in ns.mesh_shape.split(","))
     if ns.resnet_stages:

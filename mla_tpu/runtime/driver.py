@@ -139,10 +139,28 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         print("Accuracy:", accs)
         return jax.block_until_ready(state), accs
 
-    writer = _writer(cfg)
+    start_epoch = 0
     best_acc = 0.0
+    if cfg.resume:
+        # mid-run resume (beyond the reference, SURVEY.md §5.4): the full
+        # TrainState — params, optimizer buffers, BN stats, GS Pl/exp_count,
+        # QMF history, PRNG key, step — plus epoch/best-acc come back, so an
+        # interrupted run bit-matches an uninterrupted one (test_driver.py).
+        state = ckpt_lib.restore_checkpoint(cfg.resume, state)
+        state = shard_state(mesh, state)
+        meta = ckpt_lib.load_meta(cfg.resume)
+        if "saved_epoch" not in meta:
+            raise ValueError(
+                f"cannot resume from {cfg.resume}: metadata has no "
+                "saved_epoch (meta.json missing and the name encodes none)")
+        start_epoch = int(meta["saved_epoch"]) + 1
+        best_acc = float(meta.get("best_acc", meta.get("acc", 0.0)))
+        print(f"Resumed from {cfg.resume}: epoch {start_epoch}, "
+              f"best acc {best_acc:.3f}")
+
+    writer = _writer(cfg)
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         print(f"Epoch: {epoch}: ")
         lr = jnp.float32(optim.lr_for_epoch(cfg, epoch))
         t0 = time.time()
@@ -211,6 +229,15 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                 epoch_metrics.get("loss", 0.0), acc, best_acc))
         print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(
             accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
+        if cfg.save_last:
+            # rolling restart point for --resume; async write overlaps the
+            # next epoch like the best-ckpt save
+            ckpt_lib.save_checkpoint_async(
+                cfg.ckpt_path, state,
+                {"saved_epoch": epoch, "best_acc": best_acc, "acc": acc,
+                 "modulation": cfg.modulation, "alpha": cfg.alpha,
+                 "fusion": cfg.fusion_method},
+                name="last")
     # quiesce: float() metric reads above only force device 0 of replicated
     # arrays; wait for every shard so no multi-device execution outlives run()
     ckpt_lib.wait_for_async_saves()  # commit any in-flight best-ckpt write
