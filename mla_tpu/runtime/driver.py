@@ -47,6 +47,23 @@ def _writer(cfg: MLAConfig):
     return SummaryWriter(path)
 
 
+def scalar_groups(cfg: MLAConfig, epoch_metrics: Dict[str, float],
+                  accs: Dict[str, float]):
+    """TensorBoard scalar groups, exactly the reference's names
+    (main.py:865-893) — the contract curve-to-curve comparison depends on
+    (tests/test_observability.py)."""
+    loss_scalars = {"Total Loss": epoch_metrics.get("loss", 0.0),
+                    "Audio Loss": epoch_metrics.get("loss_a", 0.0),
+                    "Visual Loss": epoch_metrics.get("loss_v", 0.0)}
+    eval_scalars = {"Total Accuracy": accs.get("acc", 0.0),
+                    "Audio Accuracy": accs.get("acc_a", 0.0),
+                    "Visual Accuracy": accs.get("acc_v", 0.0)}
+    if cfg.modal3:
+        loss_scalars["Text Loss"] = epoch_metrics.get("loss_t", 0.0)
+        eval_scalars["Text Accuracy"] = accs.get("acc_t", 0.0)
+    return loss_scalars, eval_scalars
+
+
 def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
     totals = None
     for batch in loader.epoch(0):
@@ -196,15 +213,8 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         history.append({"epoch": epoch, "acc": acc, **epoch_metrics,
                         "wall_s": dt})
         if writer is not None:
-            loss_scalars = {"Total Loss": epoch_metrics.get("loss", 0.0),
-                            "Audio Loss": epoch_metrics.get("loss_a", 0.0),
-                            "Visual Loss": epoch_metrics.get("loss_v", 0.0)}
-            eval_scalars = {"Total Accuracy": acc,
-                            "Audio Accuracy": accs.get("acc_a", 0.0),
-                            "Visual Accuracy": accs.get("acc_v", 0.0)}
-            if cfg.modal3:
-                loss_scalars["Text Loss"] = epoch_metrics.get("loss_t", 0.0)
-                eval_scalars["Text Accuracy"] = accs.get("acc_t", 0.0)
+            loss_scalars, eval_scalars = scalar_groups(cfg, epoch_metrics,
+                                                       accs)
             writer.add_scalars("Loss", loss_scalars, epoch)
             writer.add_scalars("Evaluation", eval_scalars, epoch)
 
