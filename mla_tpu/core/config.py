@@ -120,6 +120,16 @@ class MLAConfig:
                                      # iteration knob, off in production;
                                      # checkpoints use the stacked 'blocks'
                                      # layout (pp.to_scan_layout converts)
+    pp_microbatches: int = 0         # GPipe pipeline parallelism over the
+                                     # M3AE block stack (parallel/pp.py):
+                                     # stages = the mesh 'model' axis, this
+                                     # many microbatches per data slice.
+                                     # Needs --scan_blocks (stacked layout)
+                                     # and --mesh_shape d,m with m > 1; the
+                                     # scaling path for the 'large'/'huge'
+                                     # encoder configs (m3ae.py:226-268).
+    pp_remat: bool = False           # rematerialize each block in the PP
+                                     # backward (GPipe memory/FLOP trade)
     log_every: int = 50
     masked_bn: bool = False          # exact partial-batch BN statistics
                                      # (MaskedBatchNorm); ~10% step-time cost,
@@ -200,6 +210,9 @@ class MLAConfig:
         _ = self.n_classes
         if self.modal3 and self.dataset != "IEMOCAP":
             raise ValueError("--modal3 is only supported with IEMOCAP")
+        if self.pp_microbatches and not self.scan_blocks:
+            raise ValueError("--pp_microbatches requires --scan_blocks "
+                             "(the stacked block layout pp stages consume)")
         return self
 
     def replace(self, **kw) -> "MLAConfig":
@@ -280,6 +293,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan the M3AE transformer blocks: ~20x faster "
                         "cold compiles at ~1.5x step time (dev/CI knob; "
                         "stacked param layout)")
+    p.add_argument("--pp_microbatches", default=d.pp_microbatches, type=int,
+                   help="GPipe pipeline parallelism over the M3AE blocks: "
+                        "microbatches per data slice; stages = the mesh "
+                        "model axis (needs --scan_blocks + --mesh_shape d,m)")
+    p.add_argument("--pp_remat", action="store_true",
+                   help="rematerialize each block in the PP backward")
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")

@@ -131,7 +131,25 @@ class M3AEEncoder(nn.Module):
         """
         x, padding_mask = self.embed(image, text, text_padding_mask)
         if self.config.scan_blocks:
-            x, _ = self.blocks_scanned(x, padding_mask)
+            from mla_tpu.parallel import pp
+            tc = pp.train_config()
+            if tc is not None and not self.is_initializing():
+                # --pp_microbatches: drive the stacked stack through the
+                # GPipe schedule (parallel/pp.py) — stage s holds its rows of
+                # the (L, ...) block params (sharded by pp.shard_state_train)
+                # and the activations hop stages over ICI. Trace-time switch,
+                # like sp.constrain.
+                c = self.config
+                # parent=None: a detached template the pipeline block.apply's
+                # with each stage's param rows — not a submodule of this one
+                block = M3AEBlock(c.emb_dim, c.num_heads, c.mlp_ratio,
+                                  dtype=self.dtype, parent=None)
+                stacked = self.variables["params"]["blocks"]
+                mesh, n_micro, remat = tc
+                x = pp.pipeline_blocks(block, stacked, x, padding_mask, mesh,
+                                       n_micro, remat=remat)
+            else:
+                x, _ = self.blocks_scanned(x, padding_mask)
         else:
             for blk in self.blocks:
                 x = blk(x, padding_mask)

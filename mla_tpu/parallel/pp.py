@@ -172,6 +172,68 @@ def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro,
     return outs.reshape(bl, n, c)
 
 
+# ---------------------------------------------------------------------------
+# Train-path integration (--pp_microbatches): a trace-time switch, same
+# pattern as sp.enable (parallel/sp.py). When enabled, M3AEEncoder.__call__
+# (models/m3ae.py) routes its stacked --scan_blocks stack through
+# pipeline_blocks instead of nn.scan, so every regime's jitted train step and
+# the eval step pipeline the 'large'/'huge' encoders with no other changes.
+# ---------------------------------------------------------------------------
+
+_TRAIN_PP = None     # (mesh, n_micro, remat) or None
+
+
+def enable_train(mesh: Mesh, n_micro: int, remat: bool = False) -> bool:
+    """Install pipeline-parallel training. Returns True if active (model
+    axis > 1); degenerates to off on a pure-DP mesh."""
+    global _TRAIN_PP
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        _TRAIN_PP = None
+        return False
+    _TRAIN_PP = (mesh, int(n_micro), bool(remat))
+    return True
+
+
+def disable_train():
+    global _TRAIN_PP
+    _TRAIN_PP = None
+
+
+def train_config():
+    """(mesh, n_micro, remat) when PP training is enabled, else None."""
+    return _TRAIN_PP
+
+
+def state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for PP training: every leaf under a 'blocks'
+    subtree (the stacked block params and their mirrored optimizer moments)
+    is stage-sharded on dim 0 over 'model'; everything else replicates."""
+    def spec(path, leaf):
+        names = []
+        for p in path:
+            if hasattr(p, "key"):
+                names.append(str(p.key))
+            elif hasattr(p, "name"):
+                names.append(str(p.name))
+        if "blocks" in names and getattr(leaf, "ndim", 0) >= 1:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def shard_state_train(mesh: Mesh, state):
+    """Place a host-local TrainState for PP training (stage-sharded blocks).
+    Multi-host: promote replicated first, then reshard on-device (same
+    reasoning as tp.shard_state)."""
+    from mla_tpu.parallel.mesh import replicate
+    if jax.process_count() > 1:
+        state = replicate(mesh, state)
+        return jax.jit(lambda s: s,
+                       out_shardings=state_shardings(mesh, state))(state)
+    return jax.tree_util.tree_map(jax.device_put, state,
+                                  state_shardings(mesh, state))
+
+
 def pipeline_m3ae_encoder(encoder, variables, stacked_blocks, image, text,
                           text_padding_mask, mesh: Mesh, n_micro: int):
     """Full pipelined M3AE encoder forward: embed (stage-replicated, tiny)

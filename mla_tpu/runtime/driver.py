@@ -80,12 +80,14 @@ def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
 
 def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     """Train (cfg.train) or evaluate a checkpoint (not cfg.train)."""
-    from mla_tpu.parallel import sp
-    sp.disable()  # never inherit a previous run's token sharding
+    from mla_tpu.parallel import pp, sp
+    sp.disable()          # never inherit a previous run's token sharding
+    pp.disable_train()    # or its pipeline schedule
     try:
         return _run(cfg, max_steps_per_epoch)
     finally:
-        sp.disable()  # the SP trace-time global must not outlive this run
+        sp.disable()  # the trace-time globals must not outlive this run
+        pp.disable_train()
 
 
 def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
@@ -122,9 +124,23 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         state = state.replace(params=ckpt_lib.warm_start_params(
             cfg.ckpt_load_path_train, state.params))
         print("Trained model loaded!")
-    # DP replicate; with --mesh_shape d,m (m>1) transformer blocks are
-    # additionally tensor-parallel over the model axis (parallel/tp.py)
-    state = shard_state(mesh, state)
+    # Parallel layout over the (data, model) mesh: PP stage-shards the
+    # stacked blocks (parallel/pp.py), else TP column/row-shards the
+    # transformer kernels (parallel/tp.py); both degenerate to the plain DP
+    # replicate when the model axis is 1.
+    pp_on = False
+    if cfg.pp_microbatches:
+        from mla_tpu.parallel import pp as pp_lib
+        pp_on = pp_lib.enable_train(mesh, cfg.pp_microbatches, cfg.pp_remat)
+        if not pp_on:
+            print("WARNING: --pp_microbatches ignored — mesh has no model "
+                  "axis (need --mesh_shape d,m with m > 1)")
+    if pp_on:
+        from mla_tpu.parallel import pp as pp_lib
+        place_state = lambda s: pp_lib.shard_state_train(mesh, s)  # noqa: E731
+    else:
+        place_state = lambda s: shard_state(mesh, s)               # noqa: E731
+    state = place_state(state)
     if cfg.seq_parallel:
         # token-shard the residual stream between blocks (parallel/sp.py);
         # trace-time switch — must be set before the steps below are jitted
@@ -151,7 +167,7 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         else:
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         # restored leaves are host-local; promote back onto the global mesh
-        state = shard_state(mesh, state)
+        state = place_state(state)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
         return jax.block_until_ready(state), accs
@@ -164,7 +180,7 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         # QMF history, PRNG key, step — plus epoch/best-acc come back, so an
         # interrupted run bit-matches an uninterrupted one (test_driver.py).
         state = ckpt_lib.restore_checkpoint(cfg.resume, state)
-        state = shard_state(mesh, state)
+        state = place_state(state)
         meta = ckpt_lib.load_meta(cfg.resume)
         if "saved_epoch" not in meta:
             raise ValueError(

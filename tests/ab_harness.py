@@ -1,0 +1,345 @@
+"""End-to-end behavioral A/B harness vs the ACTUAL reference implementation.
+
+Drives the reference's own training loop — ``train_epoch`` / ``valid`` from
+/root/reference/main.py (imported, not reimplemented) with the reference's
+own models/optimizer/GSPlugin/History — and this framework's jitted steps on
+IDENTICAL data (the same captured batch stream) from IDENTICAL init (the
+torch model's state_dict imported through models/torch_import.py), then
+compares per-epoch loss / accuracy trajectories.
+
+This is the trajectory-level accuracy-parity proof for the four regimes
+(Normal, OGM/OGM_GE, QMF, MLA±dynamic) available without the real datasets
+(reference: main.py:127-679).
+
+CPU shims: the reference is CUDA-only research code — ``.cuda()`` calls are
+made identity, and the heavy third-party deps its unused import paths pull in
+(torchvision/torchaudio/timm) are stubbed. The AVClassifier path under test
+touches none of the stubs.
+
+NOTE on ghost updates: the reference's behavior depends on the torch version
+it runs under. Under torch>=2.0 ``optimizer.zero_grad`` sets grads to None,
+so MLA sub-steps never apply momentum/weight-decay-only updates to encoders
+stepped earlier in the batch. This image has torch 2.x, so the A/B runs our
+``ghost_updates=False`` mode; the default True reproduces the torch-1.8.1
+semantics of the paper's published environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.machinery
+import importlib.util
+import sys
+import types
+from typing import Dict, List
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+
+_REF = None
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    if name in sys.modules:
+        return sys.modules[name]
+    m = types.ModuleType(name)
+    # transformers probes importlib.util.find_spec("timm"); a spec-less
+    # sys.modules entry makes that raise instead of returning the stub
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    sys.modules[name] = m
+    return m
+
+
+def load_reference():
+    """Import /root/reference/main.py with CPU shims + absent-dep stubs."""
+    global _REF
+    if _REF is not None:
+        return _REF
+    import torch
+    import torch.nn as nn
+
+    # CUDA-written research code on a CPU-only torch build
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+    # oneDNN picks Winograd-style 3x3 conv backwards whose fp32 numerics sit
+    # ~1e-3 relative off the direct algorithm (measured: visual_net grad
+    # errors collapse from 1e-1 to 1e-6 relative with it off). The A/B
+    # compares algorithmic trajectories, so run torch on the direct path.
+    torch.backends.mkldnn.enabled = False
+
+    tv = _stub_module("torchvision")
+    tr = _stub_module("torchvision.transforms")
+    tv.transforms = tr
+    for cls in ("Compose", "RandomResizedCrop", "RandomHorizontalFlip",
+                "ToTensor", "Normalize", "Resize", "CenterCrop"):
+        setattr(tr, cls, type(cls, (), {"__init__": lambda self, *a, **k: None}))
+    _stub_module("torchaudio")
+    timm = _stub_module("timm")
+    timm.__version__ = "0.4.5"
+    td = _stub_module("timm.data")
+    td.create_transform = lambda *a, **k: None
+    timm.data = td
+    tmodels = _stub_module("timm.models")
+    tlayers = _stub_module("timm.models.layers")
+    tlayers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+    tlayers.trunc_normal_ = lambda *a, **k: None
+
+    class _DropPath(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tlayers.DropPath = _DropPath
+    tvit = _stub_module("timm.models.vision_transformer")
+    for cls in ("Attention", "Mlp", "PatchEmbed", "Block"):
+        setattr(tvit, cls, type(cls, (nn.Module,), {
+            "__init__": lambda self, *a, **k: nn.Module.__init__(self)}))
+    tmodels.layers = tlayers
+    tmodels.vision_transformer = tvit
+    timm.models = tmodels
+
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    spec = importlib.util.spec_from_file_location("ref_main",
+                                                  REF_ROOT + "/main.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _REF = mod
+    return mod
+
+
+def ref_namespace(cfg, av_alpha: float) -> argparse.Namespace:
+    """The argparse namespace the reference threads everywhere
+    (main.py:18-63), populated from our config."""
+    return argparse.Namespace(
+        dataset=cfg.dataset, modulation=cfg.modulation,
+        fusion_method=cfg.fusion_method, lorb=cfg.lorb, clip=cfg.clip,
+        modal3=cfg.modal3, gs_flag=cfg.gs_flag, dynamic=cfg.dynamic,
+        alpha=cfg.alpha, modulation_starts=cfg.modulation_starts,
+        modulation_ends=cfg.modulation_ends, av_alpha=av_alpha,
+        a_alpha=cfg.a_alpha, v_alpha=cfg.v_alpha, t_alpha=cfg.t_alpha,
+        use_video_frames=cfg.use_video_frames, batch_size=cfg.batch_size,
+        use_tensorboard=False,
+        learning_rate=cfg.learning_rate, lr_decay_step=cfg.lr_decay_step,
+        lr_decay_ratio=cfg.lr_decay_ratio, random_seed=cfg.random_seed,
+        mask_percent=cfg.mask_percent, mask_m=cfg.mask_m)
+
+
+# ---------------------------------------------------------------------------
+# identical data for both sides
+# ---------------------------------------------------------------------------
+
+def capture_batches(cfg, epochs: int):
+    """Run our deterministic input pipeline once, capture the host batch
+    streams both sides will consume (train per epoch; eval once)."""
+    from mla_tpu.data.datasets import build_adapter
+    from mla_tpu.data.pipeline import Loader
+
+    train_adapter = build_adapter(cfg, "train")
+    test_adapter = build_adapter(cfg, "test")
+    ltr = Loader(train_adapter, cfg.batch_size, mesh=None, shuffle=True,
+                 seed=cfg.random_seed, num_workers=2)
+    lte = Loader(test_adapter, cfg.batch_size, mesh=None, shuffle=False,
+                 seed=cfg.random_seed, num_workers=2)
+
+    def mat(b):
+        return {k: np.asarray(v) for k, v in b.items()}
+
+    train_eps = [[mat(b) for b in ltr.epoch(e)] for e in range(epochs)]
+    test_bs = [mat(b) for b in lte.epoch(0)]
+    return train_eps, test_bs, len(train_adapter)
+
+
+def to_torch_base(batch: Dict[str, np.ndarray]):
+    """Our AV batch dict -> the (spec, image, label, idx) tuple the reference
+    unpacks for the non-m3ae path (main.py:159-162). Padded rows dropped —
+    the reference takes ragged final batches."""
+    import torch
+    n = int(batch["valid"].sum())
+    spec = torch.from_numpy(batch["spec"][:n, 0]).float()
+    image = torch.from_numpy(batch["image"][:n]).float()
+    label = torch.from_numpy(batch["label"][:n]).long()
+    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
+    return (spec, image, label, idx)
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+
+def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
+                  init_path: str = None):
+    """main()'s model/optimizer setup (main.py:697-760) + the reference's own
+    train_epoch/valid loop over the captured batches."""
+    import torch
+    import torch.nn as nn
+    import torch.optim as optim_t
+
+    ref = load_reference()
+    args = ref_namespace(cfg, av_alpha)
+    device = torch.device("cpu")
+
+    ref.setup_seed(cfg.random_seed)
+    model = ref.AVClassifier(args)
+    model.apply(ref.weight_init)            # main.py:719
+    model = nn.DataParallel(model)          # main.py:732 (CPU degenerate)
+    if init_path:
+        torch.save({"model": model.state_dict()}, init_path)
+
+    optimizer = optim_t.SGD(model.parameters(), lr=cfg.learning_rate,
+                            momentum=0.9, weight_decay=1e-4)  # main.py:749
+    scheduler = optim_t.lr_scheduler.StepLR(optimizer, cfg.lr_decay_step,
+                                            cfg.lr_decay_ratio)
+
+    gs = ref.GSPlugin.__new__(ref.GSPlugin)  # __init__ is CUDA-only
+    gs.Pl = torch.eye(512)
+    gs.exp_count = 0
+
+    n_data = sum(int(b["valid"].sum()) for b in train_eps[0])
+    txt_history = ref.History(n_data)
+    img_history = ref.History(n_data)
+
+    train_t = [[to_torch_base(b) for b in ep] for ep in train_eps]
+    test_t = [to_torch_base(b) for b in test_bs]
+
+    # eval-at-init: with bit-identical params this pins eval-path parity
+    # independently of training-trajectory drift
+    init_acc = ref.valid(args, model, device, test_t, gs_flag=cfg.gs_flag,
+                         av_alpha=av_alpha)
+
+    history = []
+    for e, batches in enumerate(train_t):
+        ret = ref.train_epoch(args, e, model, device, batches, optimizer,
+                              scheduler, gs_plugin=gs, writer=None,
+                              gs_flag=cfg.gs_flag, av_alpha=av_alpha,
+                              txt_history=txt_history,
+                              img_history=img_history)
+        loss, loss_a, loss_v = ret[:3]
+        acc, acc_a, acc_v = ref.valid(args, model, device, test_t,
+                                      gs_flag=cfg.gs_flag,
+                                      av_alpha=av_alpha)
+        history.append({"epoch": e, "loss": loss, "loss_a": loss_a,
+                        "loss_v": loss_v, "acc": acc, "acc_a": acc_a,
+                        "acc_v": acc_v})
+    return history, {"acc": init_acc[0], "acc_a": init_acc[1],
+                     "acc_v": init_acc[2]}
+
+
+# ---------------------------------------------------------------------------
+# our side
+# ---------------------------------------------------------------------------
+
+def run_ours(cfg, train_eps, test_bs, n_data: int, init_path: str):
+    """This framework's jitted train/eval steps over the same batches, from
+    the torch init imported through the checkpoint shim."""
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.evals.metrics import make_eval_step, summarize_counts
+    from mla_tpu.models.classifiers import build_classifier
+    from mla_tpu.models.torch_import import load_torch_checkpoint
+    from mla_tpu.train import optim, steps as steps_lib
+    from mla_tpu.train.state import create_train_state
+
+    model = build_classifier(cfg, dtype=jnp.float32)
+    sample = {k: jnp.asarray(v) for k, v in train_eps[0][0].items()}
+    spec = optim.make_spec(cfg)
+    state = create_train_state(model, cfg, sample, spec, n_data=n_data,
+                               seed=cfg.random_seed)
+    params, stats = load_torch_checkpoint(init_path, cfg)
+
+    def merge(dst, src):
+        # structure-preserving: the torch QMF model also constructs the
+        # (never-used, never-stepped) fusion_module (basic_model.py:31-47);
+        # ours doesn't — keep our tree's structure, take matching leaves.
+        if not isinstance(dst, dict):
+            return jnp.asarray(src)
+        return {k: (merge(v, src[k]) if k in src else v)
+                for k, v in dst.items()}
+
+    state = state.replace(params=merge(state.params, params),
+                          batch_stats=merge(state.batch_stats, stats))
+
+    len_dl = len(train_eps[0])
+    train_step = jax.jit(steps_lib.make_train_step(model, cfg, spec, len_dl),
+                         donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    def eval_all(st):
+        totals = None
+        for hb in test_bs:
+            jb = {k: jnp.asarray(v) for k, v in hb.items()}
+            counts = eval_step(st.params, st.batch_stats, jb)
+            totals = counts if totals is None else \
+                jax.tree_util.tree_map(jnp.add, totals, counts)
+        return summarize_counts(totals)
+
+    init_accs = eval_all(state)
+    history = []
+    for e, batches in enumerate(train_eps):
+        lr = jnp.float32(optim.lr_for_epoch(cfg, e))
+        msum, nb = None, 0
+        for bi, hb in enumerate(batches):
+            jb = {k: jnp.asarray(v) for k, v in hb.items()}
+            state, metrics = train_step(state, jb, lr, jnp.int32(bi),
+                                        jnp.int32(e))
+            msum = metrics if msum is None else \
+                jax.tree_util.tree_map(jnp.add, msum, metrics)
+            nb += 1
+        accs = eval_all(state)
+        history.append({"epoch": e,
+                        "loss": float(msum["loss"]) / nb,
+                        "loss_a": float(msum["loss_a"]) / nb,
+                        "loss_v": float(msum["loss_v"]) / nb,
+                        "acc": accs["acc"], "acc_a": accs.get("acc_a", 0.0),
+                        "acc_v": accs.get("acc_v", 0.0)})
+    return history, init_accs
+
+
+# ---------------------------------------------------------------------------
+# the A/B
+# ---------------------------------------------------------------------------
+
+def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
+           n_train: int = 48, n_test: int = 16, batch_size: int = 16,
+           learning_rate: float = 2e-3, seed: int = 7):
+    """One regime end-to-end A/B. regime in {'Normal', 'OGM', 'OGM_GE',
+    'QMF', 'MLA', 'MLA_dynamic'}. Returns (ref_history, our_history)."""
+    import os
+
+    from mla_tpu.core.config import MLAConfig
+    from mla_tpu.data import synthetic
+
+    if not os.path.exists(os.path.join(root, "stat_cre.txt")):
+        synthetic.make_cremad(root, n_train=n_train, n_test=n_test,
+                              spec_shape=(64, 80), learnable=True, seed=1)
+    gs_flag = regime.startswith("MLA")
+    cfg = MLAConfig(
+        dataset="CREMAD", lorb="base", train=True,
+        modulation="Normal" if gs_flag else
+        ("Normal" if regime == "Normal" else regime),
+        gs_flag=gs_flag, dynamic=regime.endswith("dynamic"),
+        image_size=32, batch_size=batch_size, epochs=epochs,
+        learning_rate=learning_rate, random_seed=seed, data_root=root,
+        av_alpha=0.55, compute_dtype="float32",
+        ghost_updates=False,        # torch 2.x semantics (module docstring)
+        use_tensorboard=False, num_workers=2).validate()
+
+    train_eps, test_bs, n_data = capture_batches(cfg, epochs)
+    init_path = os.path.join(workdir, f"init_{regime}.pth")
+    ref_hist, ref_init = run_reference(cfg, train_eps, test_bs, av_alpha=0.55,
+                                       init_path=init_path)
+    our_hist, our_init = run_ours(cfg, train_eps, test_bs, n_data, init_path)
+    return ref_hist, our_hist, ref_init, our_init
+
+
+def trajectory_diffs(ref_hist: List[dict], our_hist: List[dict]):
+    """Max abs per-epoch differences for loss keys and acc keys."""
+    dl = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist)
+             for k in ("loss", "loss_a", "loss_v"))
+    da = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist)
+             for k in ("acc", "acc_a", "acc_v"))
+    return dl, da
