@@ -1,0 +1,55 @@
+"""Multi-epoch end-to-end behavioral A/B vs the ACTUAL reference (VERDICT r2
+next #1): the reference's own train_epoch/valid (imported from
+/root/reference/main.py, torch CPU) and this framework, identical data +
+identical init, per-epoch loss/accuracy trajectories compared across every
+training regime. See tests/ab_harness.py; the measured trajectory table is
+recorded in BASELINE.md ("Round-3 end-to-end behavioral A/B").
+
+Tolerances: step-level parity is ~2e-7 (harness smoke); over several epochs
+fp drift is amplified chaotically by from-scratch training (BN invstd on
+near-dead channels is the dominant multiplier — measured 1e-6 -> 1e-3/step),
+so epoch-0 means match to ~1e-2 and later epochs to ~1e-1. Accuracy on the
+16-sample test split is quantized to 1/16 and compared loosely; eval-path
+parity itself is pinned EXACTLY by the eval-at-init check (identical params
+-> identical accuracy). OGM_GE injects Gaussian noise drawn from different
+RNGs on each side, hence its looser band.
+"""
+
+import os
+
+import pytest
+
+from ab_harness import run_ab, trajectory_diffs
+
+REGIMES = {
+    # regime: (max |Δloss| epoch 0, max |Δloss| any epoch, final |Δacc|)
+    "Normal": (0.06, 0.25, 0.25),
+    "OGM": (0.06, 0.25, 0.25),
+    "OGM_GE": (0.12, 0.40, 0.30),   # per-side GE noise
+    "QMF": (0.06, 0.25, 0.25),
+    "MLA": (0.06, 0.25, 0.25),
+    "MLA_dynamic": (0.06, 0.25, 0.25),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("regime", list(REGIMES))
+def test_reference_ab_trajectory(regime, tmp_path):
+    e0_tol, loss_tol, acc_tol = REGIMES[regime]
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=3)
+
+    # eval-path parity at bit-identical params: exact
+    for k in ("acc", "acc_a", "acc_v"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+
+    # loss trajectories track the reference's
+    for k in ("loss", "loss_a", "loss_v"):
+        assert abs(ref[0][k] - ours[0][k]) <= e0_tol, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= loss_tol, (dl, ref, ours)
+
+    # both sides actually train, equivalently
+    assert ref[-1]["loss"] < 0.5 * ref[0]["loss"], ref
+    assert ours[-1]["loss"] < 0.5 * ours[0]["loss"], ours
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
