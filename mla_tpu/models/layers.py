@@ -17,7 +17,7 @@ import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mla_tpu.ops.attention import fused_attention
+from mla_tpu.ops.attention import fused_attention_qkv
 from mla_tpu.parallel import sp
 
 Dtype = Any
@@ -40,15 +40,13 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, padding_mask: Optional[jnp.ndarray] = None):
-        b, n, c = x.shape
-        h = self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.use_bias, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, c // h)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = fused_attention(q, k, v, padding_mask)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        # transpose-free: the fused GEMM output feeds the flat Pallas kernel
+        # directly and the result lands in proj's layout (ops/attention.py
+        # flat kernels; falls back to the (B,H,S,D) path off-TPU / under
+        # TP/SP / at very long sequences — identical math)
+        out = fused_attention_qkv(qkv, padding_mask, self.num_heads)
         return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier_uniform,
                         name="proj")(out)
 

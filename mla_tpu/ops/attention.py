@@ -280,6 +280,233 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
     return dq[:, :, :s, :], dk[:, :, :s, :], dv[:, :, :s, :]
 
 
+# --- flat-layout (transpose-free) kernels ------------------------------------
+#
+# Round-3 block anatomy (benchmarks/block_anatomy.py, B64 S257 C768 H12 bf16):
+# the (B,S,3,H,D)->(3,B,H,S,D) transpose that feeds the head-chunked kernels
+# above costs ~1.0 ms/block forward — ~23% of the 4.3 ms block — because XLA
+# must materialize the relayout around the opaque Pallas custom call. These
+# kernels instead consume the qkv GEMM's output (B, S, 3C) DIRECTLY: the same
+# array is passed three times with lane-offset index maps (q at block column
+# hi, k at nh+hi, v at 2nh+hi), heads are processed as an unrolled loop of
+# 2-D (S, D) matmuls per grid step, and the output lands as (B, S, C) — the
+# exact layout the proj GEMM consumes. No HBM relayout anywhere on the fwd or
+# bwd path; the backward returns d(qkv) chunks that concat back to (B, S, 3C)
+# for the qkv GEMM backward.
+
+def _flat_head_chunk(h: int, sp: int, d: int, n_live: int,
+                     n_bufs: int) -> int:
+    """Largest divisor of H for the flat kernels. Scores are per-head
+    (looped) so they bound feasibility, not gh; gh is bounded by the
+    (n_bufs x sp x gh*d) VMEM-resident operand blocks."""
+    scores = sp * sp * 4 * n_live
+    if scores > _SCORE_VMEM_BUDGET:
+        return 0                      # even one head's scores don't fit
+    gh = h
+    while gh:
+        if h % gh == 0 and \
+                scores + n_bufs * sp * gh * d * 2 <= 2 * _SCORE_VMEM_BUDGET:
+            return gh
+        gh -= 1
+    return 0
+
+
+def _attn_kernel_flat(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, gh, d):
+    mask = mask_ref[0, 0]                           # (S,)
+    qb = q_ref[0]                                   # (S, gh*d), input dtype
+    kb = k_ref[0]
+    vb = v_ref[0]
+    for h in range(gh):                             # static unroll
+        sl = slice(h * d, (h + 1) * d)
+        scores = jax.lax.dot_general(
+            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (S, S) fp32
+        scores = jnp.where(mask[None, :] > 0, _NEG, scores)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            probs, vb[:, sl],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "interpret"))
+def flash_attention_flat(qkv, padding_mask, num_heads: int, scale=None,
+                         interpret=False):
+    """Fused attention on the flat qkv layout.
+
+    qkv: (B, S, 3C) — the raw qkv GEMM output, thirds ordered [q | k | v],
+    each third = H heads x D lanes. padding_mask: (B, S), 1 = padded.
+    Returns (B, S, C) ready for the output projection."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    if padding_mask is None:
+        padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
+    sp8 = s + (-s) % 8
+    qkvp = _pad_to(qkv, 1, 8)
+    mp = _pad_to(padding_mask.astype(jnp.float32), 1, 8)
+    if mp.shape[1] != s:
+        mp = mp.at[:, s:].set(1.0)
+    mp = mp[:, None, :]
+
+    gh = _flat_head_chunk(num_heads, sp8, d, n_live=2, n_bufs=4)
+    assert gh, "flat kernel caller must check flat_attention_fits()"
+    nh = num_heads // gh
+    ghd = gh * d
+    spec = lambda third: pl.BlockSpec(        # noqa: E731
+        (1, sp8, ghd), lambda bi, hi, t=third: (bi, 0, t * nh + hi),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_flat, scale=scale, gh=gh, d=d),
+        out_shape=jax.ShapeDtypeStruct((b, sp8, c), qkv.dtype),
+        grid=(b, nh),
+        in_specs=[spec(0), spec(1), spec(2),
+                  pl.BlockSpec((1, 1, sp8), lambda bi, hi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, sp8, ghd), lambda bi, hi: (bi, 0, hi),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkvp, qkvp, qkvp, mp)
+    return out[:, :s, :]
+
+
+def _attn_bwd_kernel_flat(q_ref, k_ref, v_ref, do_ref, mask_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, gh, d):
+    mask = mask_ref[0, 0]
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    dob = do_ref[0]
+    for h in range(gh):
+        sl = slice(h * d, (h + 1) * d)
+        q = qb[:, sl]
+        k = kb[:, sl]
+        v = vb[:, sl]
+        do = dob[:, sl]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, :] > 0, _NEG, scores)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)       # (S, S) fp32
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q_ref.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(q_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "interpret"))
+def flash_attention_flat_bwd(qkv, do, padding_mask, num_heads: int,
+                             scale=None, interpret=False):
+    """Backward of the flat kernel: returns (dq, dk, dv), each (B, S, C)."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    sp8 = s + (-s) % 8
+    qkvp = _pad_to(qkv, 1, 8)
+    dop = _pad_to(do, 1, 8)
+    mp = _pad_to(padding_mask.astype(jnp.float32), 1, 8)
+    if mp.shape[1] != s:
+        mp = mp.at[:, s:].set(1.0)
+    mp = mp[:, None, :]
+
+    gh = _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7)
+    assert gh, "flat bwd caller must check flat_attention_fits()"
+    nh = num_heads // gh
+    ghd = gh * d
+    spec = lambda third: pl.BlockSpec(        # noqa: E731
+        (1, sp8, ghd), lambda bi, hi, t=third: (bi, 0, t * nh + hi),
+        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, sp8, ghd), lambda bi, hi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM)
+    osh = jax.ShapeDtypeStruct((b, sp8, c), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_flat, scale=scale,
+                          gh=gh, d=d),
+        out_shape=(osh, osh, osh),
+        grid=(b, nh),
+        in_specs=[spec(0), spec(1), spec(2), ospec,
+                  pl.BlockSpec((1, 1, sp8), lambda bi, hi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(ospec, ospec, ospec),
+        interpret=interpret,
+    )(qkvp, qkvp, qkvp, dop, mp)
+    return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :]
+
+
+def flat_attention_fits(num_heads: int, s: int, d: int) -> bool:
+    sp8 = s + (-s) % 8
+    return _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7) > 0
+
+
+# Trace-time switch: the flat kernels have no custom_partitioning rules, so
+# under TP/SP the driver disables them and layers fall back to the
+# (B,H,S,D)-layout kernels (whose rules GSPMD can split over heads).
+_FLAT_ENABLED = True
+
+
+def set_flat_attention(enabled: bool):
+    global _FLAT_ENABLED
+    _FLAT_ENABLED = bool(enabled)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _flat_mha(qkv, padding_mask, num_heads):
+    return flash_attention_flat(qkv, padding_mask, num_heads)
+
+
+def _flat_mha_fwd(qkv, padding_mask, num_heads):
+    out = flash_attention_flat(qkv, padding_mask, num_heads)
+    return out, (qkv, padding_mask)
+
+
+def _flat_mha_bwd(num_heads, res, g):
+    qkv, padding_mask = res
+    dq, dk, dv = flash_attention_flat_bwd(qkv, g, padding_mask, num_heads)
+    return jnp.concatenate([dq, dk, dv], axis=-1), None
+
+
+_flat_mha.defvjp(_flat_mha_fwd, _flat_mha_bwd)
+
+
+def fused_attention_qkv(qkv, padding_mask, num_heads: int):
+    """Attention on the raw fused-qkv GEMM output (B, S, 3C) -> (B, S, C).
+
+    TPU + flat kernels enabled + shapes fit: the transpose-free Pallas path.
+    Otherwise (CPU tests, TP/SP runs, very long sequences): reconstruct the
+    (B, H, S, D) tensors and take the established kernels — identical math.
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if (jax.default_backend() == "tpu" and _FLAT_ENABLED
+            and flat_attention_fits(num_heads, s, d)):
+        if padding_mask is None:
+            padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
+        return _flat_mha(qkv, padding_mask, num_heads)
+    parts = qkv.reshape(b, s, 3, num_heads, d)
+    parts = jnp.transpose(parts, (2, 0, 3, 1, 4))
+    out = fused_attention(parts[0], parts[1], parts[2], padding_mask)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, c)
+
+
 # --- GSPMD partitioning for the Pallas kernels -------------------------------
 #
 # pallas_call lowers to an opaque custom call GSPMD cannot split, so under

@@ -80,14 +80,17 @@ def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
 
 def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     """Train (cfg.train) or evaluate a checkpoint (not cfg.train)."""
+    from mla_tpu.ops import attention as attn_lib
     from mla_tpu.parallel import pp, sp
     sp.disable()          # never inherit a previous run's token sharding
     pp.disable_train()    # or its pipeline schedule
+    attn_lib.set_flat_attention(True)
     try:
         return _run(cfg, max_steps_per_epoch)
     finally:
         sp.disable()  # the trace-time globals must not outlive this run
         pp.disable_train()
+        attn_lib.set_flat_attention(True)
 
 
 def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
@@ -97,6 +100,12 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     from mla_tpu.parallel import distributed
     distributed.initialize(cfg)              # no-op unless --dist_coordinator
     mesh = make_mesh(mesh_shape=cfg.mesh_shape)
+    if mesh.shape.get("model", 1) > 1:
+        # the flat (transpose-free) attention kernels carry no
+        # custom_partitioning rules; under a model axis use the (B,H,S,D)
+        # kernels GSPMD can split over heads (ops/attention.py)
+        from mla_tpu.ops import attention as attn_lib
+        attn_lib.set_flat_attention(False)
     model = build_classifier(cfg)
     train_adapter = build_adapter(cfg, "train")
     test_adapter = build_adapter(cfg, "test")

@@ -136,10 +136,12 @@ def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
             stepped.append(m)
             losses[m] = loss
 
-        total = losses["a"] * cfg.av_alpha + losses["v"] * (1 - cfg.av_alpha)
-        metrics = {"loss": total, "loss_a": losses["a"], "loss_v": losses["v"]}
-        if "t" in losses:
-            metrics["loss_t"] = losses["t"]
+        # av_alpha-weighted epoch loss (main.py:472); .get() keeps reduced
+        # modality subsets (bench bisection) traceable
+        total = losses.get("a", 0.0) * cfg.av_alpha \
+            + losses.get("v", 0.0) * (1 - cfg.av_alpha)
+        metrics = {"loss": total}
+        metrics.update({f"loss_{m}": l for m, l in losses.items()})
         new_state = state.replace(params=params, batch_stats=bs, opt_state=opt,
                                   gs=gs, step=state.step + 1)
         return new_state, metrics

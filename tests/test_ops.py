@@ -243,3 +243,58 @@ class TestAttention:
             pass
         with pytest.raises(TypeError, match="NamedSharding"):
             attention._keep_dims(Opaque(), {0, 1})
+
+
+class TestFlatAttention:
+    """Transpose-free flat-layout kernels (round-3): consume the qkv GEMM
+    output (B,S,3C) directly, emit (B,S,C) — must match the reference
+    attention math exactly (fwd + bwd), including mask semantics."""
+
+    def _qkv(self, b=2, s=37, h=3, d=32, seed=0):
+        rng = np.random.default_rng(seed)
+        qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)), jnp.float32)
+        mask = jnp.zeros((b, s), jnp.float32).at[:, 30:].set(1.0)
+        return qkv, mask, h, d
+
+    def _ref(self, qkv, mask, h, d):
+        b, s, _ = qkv.shape
+        parts = jnp.transpose(qkv.reshape(b, s, 3, h, d), (2, 0, 3, 1, 4))
+        out = attention.attention_reference(parts[0], parts[1], parts[2],
+                                            mask)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, h * d)
+
+    def test_forward_matches_reference(self):
+        qkv, mask, h, d = self._qkv()
+        ours = attention.flash_attention_flat(qkv, mask, h, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours),
+                                   np.asarray(self._ref(qkv, mask, h, d)),
+                                   atol=2e-5)
+
+    def test_backward_matches_reference_grads(self):
+        qkv, mask, h, d = self._qkv(seed=3)
+        g = jnp.asarray(np.random.default_rng(4).standard_normal(
+            (qkv.shape[0], qkv.shape[1], h * d)), jnp.float32)
+        _, vjp = jax.vjp(lambda q_: self._ref(q_, mask, h, d), qkv)
+        (dqkv_ref,) = vjp(g)
+        dq, dk, dv = attention.flash_attention_flat_bwd(
+            qkv, g, mask, h, interpret=True)
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+        np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                                   atol=3e-5)
+
+    def test_fused_attention_qkv_fallback_path(self):
+        # off-TPU the dispatcher takes the reshape/transpose route — same
+        # numbers as the flat kernel
+        qkv, mask, h, d = self._qkv(seed=7)
+        out = attention.fused_attention_qkv(qkv, mask, h)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(self._ref(qkv, mask, h, d)),
+                                   atol=2e-5)
+
+    def test_flat_head_chunk_bounds(self):
+        # per-head scores too big -> 0 (caller falls back)
+        assert attention._flat_head_chunk(12, 4096, 64, 4, 7) == 0
+        # base shape: full-H chunks fit
+        assert attention._flat_head_chunk(12, 264, 64, 4, 7) == 12
+        assert attention.flat_attention_fits(12, 257, 64)
+        assert not attention.flat_attention_fits(12, 4096, 64)
