@@ -304,8 +304,11 @@ def _flat_head_chunk(h: int, sp: int, d: int, n_live: int,
         return 0                      # even one head's scores don't fit
     gh = h
     while gh:
+        # operand blocks are double-buffered by the pipeline (hence the 2x);
+        # measured: the old 1x accounting OOM'd scoped vmem (18 MB > 16) on
+        # the CAV-MAE S=512 backward at gh=12
         if h % gh == 0 and \
-                scores + n_bufs * sp * gh * d * 2 <= 2 * _SCORE_VMEM_BUDGET:
+                scores + 2 * n_bufs * sp * gh * d * 2 <= 2 * _SCORE_VMEM_BUDGET:
             return gh
         gh -= 1
     return 0
