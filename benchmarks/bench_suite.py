@@ -132,6 +132,25 @@ def main():
         Modal3Classifier(n_classes=4, gs_flag=True, dtype=jnp.bfloat16),
         m3_batch))
 
+    # 6/7. Food-101 CLIP (precomputed 512-d features — fusion-head only)
+    from mla_tpu.models.classifiers import CLIPClassifier
+    clip_batch = {
+        "token_feat": jnp.asarray(rng.standard_normal((B, 512)), jnp.float32),
+        "image_feat": jnp.asarray(rng.standard_normal((B, 512)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
+        "idx": jnp.arange(B, dtype=jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32)}
+    cfg = MLAConfig(dataset="Food101", clip=True, gs_flag=True,
+                    train=True).validate()
+    results.append(bench_config(
+        "food101_clip_mla", cfg,
+        CLIPClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16),
+        clip_batch))
+    cfg = MLAConfig(dataset="Food101", clip=True, train=True).validate()
+    results.append(bench_config(
+        "food101_clip_normal", cfg,
+        CLIPClassifier(n_classes=101, dtype=jnp.bfloat16), clip_batch))
+
     print(json.dumps({"device": jax.devices()[0].device_kind,
                       "results": results}, indent=2))
 

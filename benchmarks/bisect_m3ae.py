@@ -135,6 +135,19 @@ def main():
     print(f"{'=> v-substep minus encoder[v]':42s} "
           f"{(v_only - fixed - ev) * 1e3:8.2f} ms")
 
+def main_b128():
+    """Batch-128 economics with the flat kernels (round-2: worse per-clip).
+    Standalone (--b128): the full-bisection process has too many live
+    executables for the B=128 step to also fit HBM."""
+    batch = make_batch()
+    cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                    train=True).validate()
+    model = M3AEClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16)
+    b2 = {k: jnp.concatenate([v, v], axis=0) for k, v in batch.items()}
+    b2["idx"] = jnp.arange(2 * B, dtype=jnp.int32)
+    time_step("full MLA step, batch 128", cfg, model, b2)
+
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main_b128() if "--b128" in sys.argv else main()
