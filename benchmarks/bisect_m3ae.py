@@ -92,7 +92,7 @@ def time_encoder_grad_chain(name, model, params, bs, batch, modality,
             gsum = sum(jnp.sum(x.astype(jnp.float32) ** 2)
                        for x in jax.tree_util.tree_leaves(grads))
             acc = acc + loss + gsum * 1e-30
-            enc = "mae_" + ("a" if modality == "a" else "v")
+            enc = "mae_" + modality          # mae_a / mae_v / mae_t
             k0 = jax.tree_util.tree_leaves(p[enc])[0]
             p = {**p, enc: jax.tree_util.tree_map(
                 lambda x: x + acc.astype(x.dtype) * 1e-30, p[enc])}

@@ -120,6 +120,11 @@ class MLAConfig:
                                      # iteration knob, off in production;
                                      # checkpoints use the stacked 'blocks'
                                      # layout (pp.to_scan_layout converts)
+    scan_unroll: int = 1             # lax.scan unroll factor for
+                                     # --scan_blocks. Measured on v5e:
+                                     # STRICTLY WORSE than 1 (374 ms at 2 vs
+                                     # 253; OOM at 4 — BASELINE.md); kept so
+                                     # other hardware can re-evaluate
     pp_microbatches: int = 0         # GPipe pipeline parallelism over the
                                      # M3AE block stack (parallel/pp.py):
                                      # stages = the mesh 'model' axis, this
@@ -210,6 +215,10 @@ class MLAConfig:
         _ = self.n_classes
         if self.modal3 and self.dataset != "IEMOCAP":
             raise ValueError("--modal3 is only supported with IEMOCAP")
+        if self.scan_unroll < 1:
+            raise ValueError("--scan_unroll must be >= 1")
+        if self.scan_unroll > 1 and not self.scan_blocks:
+            raise ValueError("--scan_unroll needs --scan_blocks")
         if self.pp_microbatches and not self.scan_blocks:
             raise ValueError("--pp_microbatches requires --scan_blocks "
                              "(the stacked block layout pp stages consume)")
@@ -293,6 +302,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan the M3AE transformer blocks: ~20x faster "
                         "cold compiles at ~1.5x step time (dev/CI knob; "
                         "stacked param layout)")
+    p.add_argument("--scan_unroll", default=d.scan_unroll, type=int,
+                   help="unroll factor for --scan_blocks (compile/runtime "
+                        "trade; 1 = pure scan)")
     p.add_argument("--pp_microbatches", default=d.pp_microbatches, type=int,
                    help="GPipe pipeline parallelism over the M3AE blocks: "
                         "microbatches per data slice; stages = the mesh "

@@ -189,11 +189,13 @@ class M3AEClassifier(nn.Module, _FusionMixin):
     text_vocab_size: int = 30522   # BERT vocab (m3ae.py:317)
     scan_blocks: bool = False      # lax.scan block stack (fast compiles;
                                    # stacked 'blocks' param layout)
+    scan_unroll: int = 1
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
                          text_vocab_size=self.text_vocab_size,
-                         scan_blocks=self.scan_blocks)
+                         scan_blocks=self.scan_blocks,
+                         scan_unroll=self.scan_unroll)
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
@@ -236,10 +238,12 @@ class Modal3Classifier(nn.Module, _FusionMixin):
     modal3: bool = True
     audio_length: int = 1024
     scan_blocks: bool = False
+    scan_unroll: int = 1
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
-                         scan_blocks=self.scan_blocks)
+                         scan_blocks=self.scan_blocks,
+                         scan_unroll=self.scan_unroll)
         self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
                               dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
@@ -319,6 +323,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         return CAVClassifier(img_size=cfg.image_size or 224, **kw)
     if cfg.lorb == "m3ae":
         kw["scan_blocks"] = cfg.scan_blocks
+        kw["scan_unroll"] = cfg.scan_unroll
         if cfg.modal3:
             return Modal3Classifier(**kw)
         return M3AEClassifier(**kw)

@@ -51,6 +51,8 @@ class M3AEConfig:
     model_type: str = "base"
     text_vocab_size: int = 30522
     use_type_embedding: bool = True
+    scan_unroll: int = 1        # lax.scan unroll factor (compile/runtime
+                                # trade; see core/config.py scan_unroll)
     scan_blocks: bool = False   # lax.scan over a stacked block: ~depth-x
                                 # smaller HLO -> 9 s cold train-step compile
                                 # vs minutes unrolled (measured on the v5e
@@ -110,6 +112,7 @@ class M3AEEncoder(nn.Module):
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=c.depth,
+                unroll=c.scan_unroll,
             )(c.emb_dim, c.num_heads, c.mlp_ratio, dtype=self.dtype,
               scan_cell=True, name="blocks")
         else:

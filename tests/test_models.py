@@ -206,6 +206,24 @@ class TestScanBlocks:
         out_s = enc_s.apply({"params": ps}, image, text, tmask)
         np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_s))
 
+    def test_scan_unroll_bit_identical(self):
+        """--scan_unroll only changes lax.scan's lowering, never the math —
+        including a factor that does not divide the depth."""
+        from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
+        from mla_tpu.parallel import pp
+        enc_u, _, image, text, tmask = self._fixtures()
+        vu = enc_u.init(jax.random.key(0), image, text, tmask)
+        ps = pp.to_scan_layout(vu["params"])
+        out_u = enc_u.apply(vu, image, text, tmask)
+        for unroll in (2, 3):
+            enc_n = M3AEEncoder(M3AEConfig(model_type="debug",
+                                           text_vocab_size=64,
+                                           scan_blocks=True,
+                                           scan_unroll=unroll), jnp.float32)
+            out_n = enc_n.apply({"params": ps}, image, text, tmask)
+            np.testing.assert_array_equal(np.asarray(out_u),
+                                          np.asarray(out_n))
+
     def test_layout_roundtrip(self):
         from mla_tpu.parallel import pp
         enc_u, _, image, text, tmask = self._fixtures()
