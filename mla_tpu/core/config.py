@@ -155,6 +155,16 @@ class MLAConfig:
                                       # gives a ResNet-10 (same 512-d feature)
                                       # for reduced-depth CI/deployments.
 
+    export_dir: Optional[str] = None  # serialize the eval forward + weights
+                                      # to a jax.export serving artifact
+                                      # (runtime/export.py) after params are
+                                      # built/restored; beyond-reference —
+                                      # the reference can only re-run its
+                                      # Python model code (main.py:946-953)
+    export_batch_sizes: Tuple[int, ...] = ()
+                                      # batch-size ladder for the artifact;
+                                      # default (1, 8, batch_size)
+
     # --- multi-host distributed data parallelism (SURVEY §5.8) ---
     # One process per TPU host. dist_coordinator ("host0:port") enables
     # jax.distributed.initialize(); the mesh then spans all hosts' chips and
@@ -320,6 +330,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist_num_processes", default=d.dist_num_processes,
                    type=int)
     p.add_argument("--dist_process_id", default=d.dist_process_id, type=int)
+    p.add_argument("--export_dir", default=None, type=str,
+                   help="write a jax.export serving artifact (StableHLO + "
+                        "weights) here after params are built/restored")
+    p.add_argument("--export_batch_sizes", default=None, type=str,
+                   help="comma-separated batch-size ladder for --export_dir "
+                        "(default 1,8,<batch_size>)")
     return p
 
 
@@ -336,4 +352,9 @@ def config_from_args(argv=None) -> MLAConfig:
             int(x) for x in ns.resnet_stages.split(","))
     else:
         kw.pop("resnet_stages", None)
+    if ns.export_batch_sizes:
+        kw["export_batch_sizes"] = tuple(
+            int(x) for x in ns.export_batch_sizes.split(","))
+    else:
+        kw.pop("export_batch_sizes", None)
     return MLAConfig(**kw).validate()

@@ -33,6 +33,32 @@ def per_class_counts(logits, label, valid, n_classes):
     return jax.ops.segment_sum(correct, label, num_segments=n_classes)
 
 
+def eval_logits(model, cfg, params, batch_stats, batch, valid):
+    """Inference forward shared by the eval step and the serving export:
+    -> (out_m: {modality: (B, n_classes)}, fused: (B, n_classes)) with the
+    regime's eval-time fusion (valid() fusion branches, main.py:617-651)."""
+    modalities = modalities_of(cfg)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    out = model.apply(variables, batch, train=False)
+
+    if cfg.gs_flag:
+        out_m = {m: out[f"out_{m}"] for m in modalities}
+        fused = fuse_outputs(out_m, valid, cfg)
+    elif cfg.modulation == "QMF":
+        out_m = {m: out[m] for m in modalities}
+        fused = sum(out_m[m] * _energy_conf(out_m[m])[:, None]
+                    for m in modalities)
+    else:
+        feats = {m: out[m] for m in modalities}
+        fused = out["out"]
+        out_m = sliced_modality_logits(
+            feats, params["fusion_module"], cfg.fusion_method, cfg.modal3,
+            bias_div=True)
+    return out_m, fused
+
+
 def make_eval_step(model, cfg):
     """Returns step(params, batch_stats, batch) -> dict of (n_classes,) counts
     {'num','acc','acc_a','acc_v'[,'acc_t']} to be accumulated by the driver
@@ -42,24 +68,8 @@ def make_eval_step(model, cfg):
 
     def step(params, batch_stats, batch):
         valid, label = batch["valid"], batch["label"]
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        out = model.apply(variables, batch, train=False)
-
-        if cfg.gs_flag:
-            out_m = {m: out[f"out_{m}"] for m in modalities}
-            fused = fuse_outputs(out_m, valid, cfg)
-        elif cfg.modulation == "QMF":
-            out_m = {m: out[m] for m in modalities}
-            fused = sum(out_m[m] * _energy_conf(out_m[m])[:, None]
-                        for m in modalities)
-        else:
-            feats = {m: out[m] for m in modalities}
-            fused = out["out"]
-            out_m = sliced_modality_logits(
-                feats, params["fusion_module"], cfg.fusion_method, cfg.modal3,
-                bias_div=True)
+        out_m, fused = eval_logits(model, cfg, params, batch_stats, batch,
+                                   valid)
 
         counts = {
             "num": jax.ops.segment_sum(valid, label, num_segments=n_classes),

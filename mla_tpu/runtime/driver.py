@@ -177,6 +177,9 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         # restored leaves are host-local; promote back onto the global mesh
         state = place_state(state)
+        if cfg.export_dir:
+            from mla_tpu.runtime.export import export_from_driver
+            export_from_driver(cfg, model, state, sample)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
         return jax.block_until_ready(state), accs
@@ -273,6 +276,11 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                  "modulation": cfg.modulation, "alpha": cfg.alpha,
                  "fusion": cfg.fusion_method},
                 name="last")
+    if cfg.export_dir:
+        # serving artifact from the final state (for the best-epoch weights,
+        # run eval-only with --export_dir on the saved best checkpoint)
+        from mla_tpu.runtime.export import export_from_driver
+        export_from_driver(cfg, model, state, sample)
     # quiesce: float() metric reads above only force device 0 of replicated
     # arrays; wait for every shard so no multi-device execution outlives run()
     ckpt_lib.wait_for_async_saves()  # commit any in-flight best-ckpt write

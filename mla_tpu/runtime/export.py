@@ -1,0 +1,226 @@
+"""AOT export + serving: freeze the eval forward into a portable artifact.
+
+The reference has no deployment story — serving a trained model means
+re-running the Python model code under torch (main.py:946-953 re-builds the
+net and loads a .pth). Here the jitted inference graph (encoders + the
+regime's eval-time fusion, evals/metrics.py:eval_logits) is serialized with
+`jax.export` to StableHLO: a versioned, model-code-free artifact that a
+serving binary can deserialize and run on TPU without importing mla_tpu's
+model zoo — only the artifact + weights.
+
+Layout of an export directory:
+    meta.json            input specs, batch sizes, platforms, config summary
+    params.msgpack       flax msgpack of state.params
+    batch_stats.msgpack  flax msgpack of state.batch_stats ({} if none)
+    serving_b{N}.jaxexp  one serialized Exported per supported batch size
+
+Batch handling: TPU wants static shapes, so the artifact carries a ladder of
+batch sizes (default 1/8/64); `ServingModel` pads an incoming request to the
+smallest rung and slices the result. Padded rows get valid=0, which the
+dynamic-fusion gating masks out (fusion_eval.py:gating_weights), so padding
+never changes real rows' outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization as flax_ser
+from jax import export as jax_export
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.evals.metrics import eval_logits
+from mla_tpu.models.classifiers import build_classifier, modalities_of
+
+# Per-sample input tensors each classifier family reads from the batch dict
+# (models/classifiers.py __call__ bodies; shapes are per-sample, the leading
+# batch axis is added by the export specs).
+FEATURE_KEYS: Dict[str, Tuple[str, ...]] = {
+    "AVClassifier": ("spec", "image"),
+    "CAVClassifier": ("fbank", "image"),
+    "M3AEClassifier": ("token", "padding_mask", "image"),
+    "Modal3Classifier": ("fbank", "image", "token", "padding_mask"),
+    "CLIPClassifier": ("token_feat", "image_feat"),
+}
+
+_META = "meta.json"
+_PARAMS = "params.msgpack"
+_BATCH_STATS = "batch_stats.msgpack"
+
+
+def feature_keys(model) -> Tuple[str, ...]:
+    return FEATURE_KEYS[type(model).__name__]
+
+
+def make_serving_fn(model, cfg: MLAConfig):
+    """(params, batch_stats, features) -> {'fused', 'logits_<m>'...}.
+
+    `features` must contain the model's feature_keys plus 'valid' (float32
+    (B,), 1.0 for real rows). Everything else from the training batch dict
+    (label/idx) is inference-irrelevant and excluded from the artifact.
+    """
+    modalities = modalities_of(cfg)
+
+    def serve(params, batch_stats, features):
+        valid = features["valid"]
+        out_m, fused = eval_logits(model, cfg, params, batch_stats, features,
+                                   valid)
+        result = {"fused": fused.astype(jnp.float32)}
+        for m in modalities:
+            result[f"logits_{m}"] = out_m[m].astype(jnp.float32)
+        return result
+
+    return serve
+
+
+def _specs_for(example_features: Dict[str, np.ndarray], keys: Sequence[str],
+               batch: int) -> Dict[str, jax.ShapeDtypeStruct]:
+    specs = {}
+    for k in keys:
+        a = example_features[k]
+        specs[k] = jax.ShapeDtypeStruct((batch,) + tuple(a.shape[1:]),
+                                        a.dtype)
+    specs["valid"] = jax.ShapeDtypeStruct((batch,), jnp.float32)
+    return specs
+
+
+def export_serving(cfg: MLAConfig, model, state, example_batch,
+                   out_dir: str, batch_sizes: Sequence[int] = (1, 8, 64),
+                   platforms: Optional[Sequence[str]] = None) -> str:
+    """Serialize the eval forward at each batch size + the weights.
+
+    example_batch: any batch dict from a Loader (only feature shapes/dtypes
+    are read). Returns out_dir.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    keys = feature_keys(model)
+    serve = make_serving_fn(model, cfg)
+    params = jax.device_get(state.params)
+    batch_stats = jax.device_get(state.batch_stats) if state.batch_stats \
+        else {}
+    example = {k: np.asarray(example_batch[k]) for k in keys}
+
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                          params)
+    bs_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                           batch_stats)
+    # The Pallas attention kernels lower to the `tpu_custom_call` target,
+    # which jax.export treats as non-portable; serving targets the same
+    # TPU generation, so disable that check.
+    disabled = (jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+                jax_export.DisabledSafetyCheck.custom_call("Sharding"))
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    for b in batch_sizes:
+        f_spec = _specs_for(example, keys, b)
+        exp = jax_export.export(
+            jax.jit(serve), platforms=platforms,
+            disabled_checks=disabled)(p_spec, bs_spec, f_spec)
+        with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"), "wb") as f:
+            f.write(bytes(exp.serialize()))
+        exported_platforms = exp.platforms
+
+    with open(os.path.join(out_dir, _PARAMS), "wb") as f:
+        f.write(flax_ser.msgpack_serialize(jax.tree.map(np.asarray, params)))
+    with open(os.path.join(out_dir, _BATCH_STATS), "wb") as f:
+        f.write(flax_ser.msgpack_serialize(
+            jax.tree.map(np.asarray, batch_stats)))
+
+    meta = {
+        "family": type(model).__name__,
+        "modalities": list(modalities_of(cfg)),
+        "n_classes": cfg.n_classes,
+        "batch_sizes": batch_sizes,
+        "platforms": list(exported_platforms),
+        "feature_specs": {
+            k: {"shape": list(example[k].shape[1:]),
+                "dtype": str(example[k].dtype)} for k in keys},
+        "config": {"dataset": cfg.dataset, "lorb": cfg.lorb,
+                   "modal3": cfg.modal3, "clip": cfg.clip,
+                   "gs_flag": cfg.gs_flag, "modulation": cfg.modulation,
+                   "dynamic": cfg.dynamic,
+                   "fusion_method": cfg.fusion_method},
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class ServingModel:
+    """Deserialized artifact: __call__(features) -> np logits dict.
+
+    Pads the request up to the smallest exported batch rung (valid=0 rows),
+    runs the compiled Exported, slices back. No mla_tpu model code involved
+    after load — the graph comes from the artifact.
+    """
+
+    def __init__(self, out_dir: str):
+        with open(os.path.join(out_dir, _META)) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(out_dir, _PARAMS), "rb") as f:
+            self._params = flax_ser.msgpack_restore(f.read())
+        with open(os.path.join(out_dir, _BATCH_STATS), "rb") as f:
+            self._batch_stats = flax_ser.msgpack_restore(f.read())
+        self.batch_sizes = self.meta["batch_sizes"]
+        self._calls = {}
+        for b in self.batch_sizes:
+            with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"),
+                      "rb") as f:
+                exp = jax_export.deserialize(bytearray(f.read()))
+            self._calls[b] = jax.jit(exp.call)
+
+    @property
+    def feature_names(self):
+        return list(self.meta["feature_specs"])
+
+    def _rung(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"request batch {n} exceeds the largest exported batch size "
+            f"{self.batch_sizes[-1]}; re-export with a larger ladder")
+
+    def __call__(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        names = self.feature_names
+        missing = [k for k in names if k not in features]
+        if missing:
+            raise KeyError(f"serving request missing features {missing}")
+        n = int(np.asarray(features[names[0]]).shape[0])
+        b = self._rung(n)
+        padded = {}
+        for k in names:
+            a = np.asarray(features[k])
+            spec = self.meta["feature_specs"][k]
+            want = tuple(spec["shape"])
+            if tuple(a.shape[1:]) != want:
+                raise ValueError(
+                    f"feature '{k}' per-sample shape {tuple(a.shape[1:])} != "
+                    f"exported {want}")
+            pad = np.zeros((b - n,) + want, dtype=spec["dtype"])
+            padded[k] = np.concatenate([a.astype(spec["dtype"]), pad], axis=0)
+        padded["valid"] = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(b - n, np.float32)])
+        out = self._calls[b](self._params, self._batch_stats, padded)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+def load_serving(out_dir: str) -> ServingModel:
+    return ServingModel(out_dir)
+
+
+def export_from_driver(cfg: MLAConfig, model, state, sample_batch) -> str:
+    """Driver hook for --export_dir: export after params are built/restored."""
+    sizes = tuple(cfg.export_batch_sizes) if cfg.export_batch_sizes else \
+        (1, 8, cfg.batch_size)
+    path = export_serving(cfg, model, state, sample_batch, cfg.export_dir,
+                          batch_sizes=sizes)
+    print(f"Serving artifact exported to {path} "
+          f"(batch sizes {sorted(set(int(b) for b in sizes))})")
+    return path

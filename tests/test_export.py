@@ -1,0 +1,162 @@
+"""AOT export / serving artifact (runtime/export.py): round-trip parity,
+batch padding, and the driver --export_dir hook. CPU platform — the
+exported StableHLO targets whatever platform the test runs on."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.data import synthetic
+from mla_tpu.data.datasets import build_adapter
+from mla_tpu.data.pipeline import Loader
+from mla_tpu.evals.metrics import eval_logits
+from mla_tpu.models.classifiers import build_classifier
+from mla_tpu.runtime.export import (export_serving, feature_keys,
+                                    load_serving)
+from mla_tpu.train import optim
+from mla_tpu.train.state import create_train_state
+
+
+def _direct(model, cfg, state, batch, n):
+    """Jitted reference logits — same compilation pipeline as the artifact
+    (eager bf16 differs from compiled bf16 by fusion rounding)."""
+    fn = jax.jit(lambda p, bs, b, v: eval_logits(model, cfg, p, bs, b, v))
+    return fn(state.params, state.batch_stats, batch,
+              jnp.ones(n, jnp.float32))
+
+
+def _state_and_batch(cfg):
+    model = build_classifier(cfg)
+    ad = build_adapter(cfg, "train")
+    gen = Loader(ad, cfg.batch_size, shuffle=False, seed=0).epoch(0)
+    batch = next(gen)
+    gen.close()
+    spec = optim.make_spec(cfg)
+    state = create_train_state(model, cfg, batch, spec, n_data=len(ad))
+    return model, state, batch
+
+
+class TestExportRoundTrip:
+    @pytest.fixture(scope="class")
+    def av_export(self, tmp_path_factory):
+        """Tiny AV gs+dynamic model (the padding-sensitive gating path)."""
+        root = str(tmp_path_factory.mktemp("cre"))
+        synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        dynamic=True, image_size=32,
+                        resnet_stages=(1, 1, 1, 1), batch_size=4,
+                        data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out = str(tmp_path_factory.mktemp("art"))
+        export_serving(cfg, model, state, batch, out, batch_sizes=(2, 4))
+        return cfg, model, state, batch, out
+
+    def test_artifact_matches_direct_eval(self, av_export):
+        cfg, model, state, batch, out = av_export
+        srv = load_serving(out)
+        assert srv.batch_sizes == [2, 4]
+        feats = {k: np.asarray(batch[k]) for k in feature_keys(model)}
+        got = srv(feats)
+        out_m, fused = _direct(model, cfg, state, batch, 4)
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["logits_a"], np.asarray(out_m["a"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padding_is_exact_for_real_rows(self, av_export):
+        """n=3 request runs on the b=4 rung. Per-modality logits are
+        row-independent, so the padded row must not perturb real rows AT ALL
+        (bit-compare vs the full-batch call on the same rung); the fused head
+        is batch-coupled through the valid-masked gating, so it is checked
+        against the unpadded math at bf16 graph-to-graph tolerance."""
+        cfg, model, state, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats3 = {k: np.asarray(batch[k])[:3] for k in keys}
+        got = srv(feats3)
+        assert got["fused"].shape == (3, cfg.n_classes)
+        full = srv({k: np.asarray(batch[k]) for k in keys})
+        for m in ("a", "v"):
+            np.testing.assert_array_equal(got[f"logits_{m}"],
+                                          full[f"logits_{m}"][:3])
+        sub = {**{k: jnp.asarray(v) for k, v in feats3.items()},
+               "label": batch["label"][:3]}
+        _, fused = _direct(model, cfg, state, sub, 3)
+        # different static batch -> different XLA fusion -> bf16 rounding
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=2e-2, atol=4e-3)
+
+    def test_request_validation(self, av_export):
+        cfg, model, state, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats = {k: np.asarray(batch[k]) for k in keys}
+        with pytest.raises(ValueError, match="exceeds the largest"):
+            srv({k: np.repeat(v, 2, axis=0) for k, v in feats.items()})
+        with pytest.raises(KeyError, match="missing features"):
+            srv({keys[0]: feats[keys[0]]})
+        bad = dict(feats)
+        bad[keys[0]] = feats[keys[0]][:, None]
+        with pytest.raises(ValueError, match="per-sample shape"):
+            srv(bad)
+
+    def test_meta_records_contract(self, av_export):
+        cfg, model, _, _, out = av_export
+        srv = load_serving(out)
+        assert srv.meta["family"] == "AVClassifier"
+        assert srv.meta["n_classes"] == cfg.n_classes
+        assert srv.meta["config"]["dynamic"] is True
+        assert set(srv.feature_names) == set(feature_keys(model))
+
+
+class TestExportCLIP:
+    def test_clip_fusion_module_path(self, tmp_path):
+        """Non-gs branch: fused head + sliced per-modality logits survive
+        the export (params['fusion_module'] slicing is inside the graph)."""
+        root = str(tmp_path / "clip")
+        synthetic.make_clip(root, n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", clip=True, batch_size=4,
+                        data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out = str(tmp_path / "art")
+        export_serving(cfg, model, state, batch, out, batch_sizes=(4,))
+        srv = load_serving(out)
+        feats = {k: np.asarray(batch[k]) for k in feature_keys(model)}
+        got = srv(feats)
+        out_m, fused = _direct(model, cfg, state, batch, 4)
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["logits_v"], np.asarray(out_m["v"]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestDriverExportHook:
+    def test_eval_only_export(self, tmp_path):
+        """--export_dir on the eval-only branch writes a loadable artifact
+        whose fused logits reproduce the driver's own eval accuracy."""
+        from mla_tpu.runtime.driver import run
+
+        root = str(tmp_path / "cre")
+        synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        image_size=32, resnet_stages=(1, 1, 1, 1),
+                        batch_size=4, data_root=root, train=True, epochs=1,
+                        ckpt_path=str(tmp_path / "ck"),
+                        use_tensorboard=False, num_workers=0,
+                        export_dir=str(tmp_path / "art"),
+                        export_batch_sizes=(4,)).validate()
+        _, result = run(cfg, max_steps_per_epoch=1)
+        srv = load_serving(cfg.export_dir)
+
+        # score the test split through the artifact only
+        ad = build_adapter(cfg, "test")
+        gen = Loader(ad, cfg.batch_size, shuffle=False, seed=0).epoch(0)
+        batch = next(gen)
+        gen.close()
+        feats = {k: np.asarray(batch[k]) for k in srv.feature_names}
+        got = srv(feats)
+        acc = float(np.mean(np.argmax(got["fused"], axis=1)
+                            == np.asarray(batch["label"])))
+        assert abs(acc - result["history"][-1]["acc"]) < 1e-6
