@@ -113,6 +113,13 @@ class MLAConfig:
                                      # stream over the model axis between
                                      # transformer blocks (parallel/sp.py);
                                      # needs mesh_shape (d, m) with m > 1
+    m3ae_size: str = "base"          # M3AE encoder config small/base/large/
+                                     # huge/debug (emb/depth/heads table,
+                                     # models/m3ae.py M3AE_CONFIGS; reference
+                                     # m3ae.py:226-268 defines the sizes but
+                                     # only ever constructs base — here
+                                     # large/huge are trainable via
+                                     # --scan_blocks + --pp_microbatches)
     scan_blocks: bool = False        # lax.scan the M3AE block stack: ~depth-x
                                      # smaller HLO -> 9 s cold step compile vs
                                      # minutes unrolled, at +46% step time
@@ -225,6 +232,9 @@ class MLAConfig:
         _ = self.n_classes
         if self.modal3 and self.dataset != "IEMOCAP":
             raise ValueError("--modal3 is only supported with IEMOCAP")
+        if self.m3ae_size not in ("small", "base", "large", "huge", "debug"):
+            raise ValueError("--m3ae_size must be one of small/base/large/"
+                             f"huge/debug, got {self.m3ae_size}")
         if self.scan_unroll < 1:
             raise ValueError("--scan_unroll must be >= 1")
         if self.scan_unroll > 1 and not self.scan_blocks:
@@ -308,6 +318,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq_parallel", action="store_true",
                    help="sequence parallelism over the model axis "
                         "(requires --mesh_shape d,m with m>1)")
+    p.add_argument("--m3ae_size", default=d.m3ae_size, type=str,
+                   choices=["small", "base", "large", "huge", "debug"],
+                   help="M3AE encoder size config (m3ae.py:226-268); "
+                        "large/huge pair with --scan_blocks/--pp_microbatches")
     p.add_argument("--scan_blocks", action="store_true",
                    help="lax.scan the M3AE transformer blocks: ~20x faster "
                         "cold compiles at ~1.5x step time (dev/CI knob; "

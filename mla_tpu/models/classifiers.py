@@ -324,6 +324,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
     if cfg.lorb == "m3ae":
         kw["scan_blocks"] = cfg.scan_blocks
         kw["scan_unroll"] = cfg.scan_unroll
+        kw["model_type"] = cfg.m3ae_size
         if cfg.modal3:
             return Modal3Classifier(**kw)
         return M3AEClassifier(**kw)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mla_tpu.models import classifiers
 from mla_tpu.models.cav_mae import CAVMAEFT
@@ -117,6 +118,28 @@ class TestClassifiers:
                                      stages=(1, 1, 1, 1))
         _, out = _init_apply(m, self._av_batch())
         assert out["out"].shape == (2, 6)
+
+    def test_m3ae_size_plumbed_from_config(self):
+        """--m3ae_size selects the encoder config table row (m3ae.py:226-268);
+        heads shape-infer so large/huge need no head changes."""
+        from mla_tpu.core.config import MLAConfig, config_from_args
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae",
+                        m3ae_size="debug").validate()
+        m = classifiers.build_classifier(cfg)
+        assert m.model_type == "debug"
+        batch = {"token": jnp.zeros((2, 1, 8), jnp.int32),
+                 "padding_mask": jnp.zeros((2, 1, 8)),
+                 "image": jnp.zeros((2, 3, 32, 32))}
+        v = m.init(jax.random.key(0), batch)
+        out = m.apply(v, batch)
+        assert out["a"].shape == (2, 1024)      # debug emb_dim
+        # CLI surface + validation
+        cfg2 = config_from_args(["--dataset", "Food101", "--lorb", "m3ae",
+                                 "--m3ae_size", "large"])
+        assert cfg2.m3ae_size == "large"
+        with pytest.raises(ValueError, match="m3ae_size"):
+            MLAConfig(dataset="Food101", lorb="m3ae",
+                      m3ae_size="giant").validate()
 
     def test_m3ae_classifier(self):
         m = classifiers.M3AEClassifier(n_classes=3, model_type="small",
