@@ -1,0 +1,83 @@
+"""First on-chip run of the 'large' M3AE config (--m3ae_size large).
+
+The reference defines large/huge encoder configs (m3ae.py:226-268) but only
+ever constructs base; --m3ae_size makes them trainable here. Single chip:
+--scan_blocks keeps the 24-deep stack's HLO (and compile time) small; batch
+is sized to HBM. Usage:
+PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py [batch] [size]
+
+Chained-protocol timing (donated state threads step N's output into N+1,
+one trailing host read — BASELINE.md measurement notes).
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from mla_tpu.core.config import MLAConfig  # noqa: E402
+from mla_tpu.models.classifiers import M3AEClassifier  # noqa: E402
+from mla_tpu.train import optim, steps  # noqa: E402
+from mla_tpu.train.state import create_train_state  # noqa: E402
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    size = sys.argv[2] if len(sys.argv) > 2 else "large"
+    rng = np.random.default_rng(0)
+    batch = {
+        "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
+        "padding_mask": jnp.zeros((B, 256), jnp.float32),
+        "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
+                             jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
+        "idx": jnp.arange(B, dtype=jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32)}
+    cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                    m3ae_size=size, scan_blocks=True, train=True).validate()
+    model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=size,
+                           scan_blocks=True, dtype=jnp.bfloat16)
+    spec = optim.make_spec(cfg)
+    t0 = time.perf_counter()
+    state = create_train_state(model, cfg, batch, spec)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    print(f"init {time.perf_counter()-t0:.1f}s params {n_params/1e6:.0f}M",
+          flush=True)
+
+    step = jax.jit(steps.make_train_step(model, cfg, spec, len_dl=100),
+                   donate_argnums=0)
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jnp.float32(1e-3), jnp.int32(0),
+                    jnp.int32(0))
+    _ = float(m["loss"])
+    t_compile = time.perf_counter() - t0
+    print(f"first step (compile+run) {t_compile:.1f}s", flush=True)
+
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, jnp.float32(1e-3), jnp.int32(i + 1),
+                        jnp.int32(0))
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    print(json.dumps({
+        "device": jax.devices()[0].device_kind, "size": size, "batch": B,
+        "params_m": round(n_params / 1e6, 1),
+        "step_ms": round(dt * 1e3, 1),
+        "clips_per_sec": round(B / dt, 1),
+        "compile_s": round(t_compile, 1),
+        "peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)},
+        indent=1))
+
+
+if __name__ == "__main__":
+    main()

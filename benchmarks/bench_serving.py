@@ -1,0 +1,91 @@
+"""On-chip smoke + latency for the AOT serving artifact (runtime/export.py).
+
+Exports the m3ae MLA+dynamic eval forward (the deployment config of the
+dynamic-eval row in BASELINE.md) at a 1/8/64 batch ladder on the real TPU —
+this exercises jax.export serialization of the flat Pallas attention
+custom calls (tpu_custom_call), which the CPU test tier can't — reloads it,
+checks numerics vs the live jitted graph, and times each rung.
+
+Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
+host read) for comparability with the dynamic-eval row.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from mla_tpu.core.config import MLAConfig  # noqa: E402
+from mla_tpu.evals.metrics import eval_logits  # noqa: E402
+from mla_tpu.models.classifiers import M3AEClassifier  # noqa: E402
+from mla_tpu.runtime import export as ex  # noqa: E402
+from mla_tpu.train import optim  # noqa: E402
+from mla_tpu.train.state import create_train_state  # noqa: E402
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B = 64
+    batch = {
+        "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
+        "padding_mask": jnp.zeros((B, 256), jnp.float32),
+        "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
+                             jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
+        "idx": jnp.arange(B, dtype=jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32)}
+    cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                    dynamic=True, train=True).validate()
+    model = M3AEClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg, batch, spec=optim.make_spec(cfg))
+
+    out_dir = "/tmp/serving_art_m3ae"
+    t0 = time.perf_counter()
+    ex.export_serving(cfg, model, state, batch, out_dir,
+                      batch_sizes=(1, 8, 64))
+    t_export = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    srv = ex.load_serving(out_dir)
+    t_load = time.perf_counter() - t0
+
+    feats = {k: np.asarray(batch[k]) for k in srv.feature_names
+             if k != "valid"}
+
+    # numerics vs the live jitted graph
+    direct = jax.jit(
+        lambda p, bs, b, v: eval_logits(model, cfg, p, bs, b, v)[1])(
+            state.params, state.batch_stats, batch,
+            jnp.ones(B, jnp.float32))
+    got = srv(feats)
+    err = float(np.max(np.abs(got["fused"] - np.asarray(direct))))
+
+    rows = []
+    for n in (1, 8, 64):
+        sub = {k: v[:n] for k, v in feats.items()}
+        out = srv(sub)  # warm (compile/load executable)
+        _ = float(out["fused"][0, 0])
+        t0 = time.perf_counter()
+        for _i in range(10):
+            out = srv(sub)
+        _ = float(out["fused"][0, 0])
+        dt = (time.perf_counter() - t0) / 10
+        rows.append({"batch": n, "latency_ms": round(dt * 1e3, 2),
+                     "clips_per_sec": round(n / dt, 1)})
+
+    print(json.dumps({
+        "device": jax.devices()[0].device_kind,
+        "export_s": round(t_export, 1), "load_s": round(t_load, 1),
+        "max_abs_err_vs_live_graph": err,
+        "rungs": rows}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,12 @@ class MLAConfig:
                                      # iteration knob, off in production;
                                      # checkpoints use the stacked 'blocks'
                                      # layout (pp.to_scan_layout converts)
+    remat_blocks: bool = False       # jax.checkpoint each scanned M3AE
+                                     # block: backward recomputes block
+                                     # activations instead of storing all
+                                     # depth residual sets — single-chip
+                                     # memory lever for --m3ae_size
+                                     # large/huge; needs --scan_blocks
     scan_unroll: int = 1             # lax.scan unroll factor for
                                      # --scan_blocks. Measured on v5e:
                                      # STRICTLY WORSE than 1 (374 ms at 2 vs
@@ -239,6 +245,8 @@ class MLAConfig:
             raise ValueError("--scan_unroll must be >= 1")
         if self.scan_unroll > 1 and not self.scan_blocks:
             raise ValueError("--scan_unroll needs --scan_blocks")
+        if self.remat_blocks and not self.scan_blocks:
+            raise ValueError("--remat_blocks needs --scan_blocks")
         if self.pp_microbatches and not self.scan_blocks:
             raise ValueError("--pp_microbatches requires --scan_blocks "
                              "(the stacked block layout pp stages consume)")
@@ -326,6 +334,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan the M3AE transformer blocks: ~20x faster "
                         "cold compiles at ~1.5x step time (dev/CI knob; "
                         "stacked param layout)")
+    p.add_argument("--remat_blocks", action="store_true",
+                   help="jax.checkpoint each scanned M3AE block (memory "
+                        "for recompute; needs --scan_blocks)")
     p.add_argument("--scan_unroll", default=d.scan_unroll, type=int,
                    help="unroll factor for --scan_blocks (compile/runtime "
                         "trade; 1 = pure scan)")

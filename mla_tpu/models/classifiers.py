@@ -190,12 +190,14 @@ class M3AEClassifier(nn.Module, _FusionMixin):
     scan_blocks: bool = False      # lax.scan block stack (fast compiles;
                                    # stacked 'blocks' param layout)
     scan_unroll: int = 1
+    remat_blocks: bool = False     # jax.checkpoint each scanned block
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
                          text_vocab_size=self.text_vocab_size,
                          scan_blocks=self.scan_blocks,
-                         scan_unroll=self.scan_unroll)
+                         scan_unroll=self.scan_unroll,
+                         remat_blocks=self.remat_blocks)
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
@@ -239,11 +241,13 @@ class Modal3Classifier(nn.Module, _FusionMixin):
     audio_length: int = 1024
     scan_blocks: bool = False
     scan_unroll: int = 1
+    remat_blocks: bool = False     # jax.checkpoint each scanned block
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
                          scan_blocks=self.scan_blocks,
-                         scan_unroll=self.scan_unroll)
+                         scan_unroll=self.scan_unroll,
+                         remat_blocks=self.remat_blocks)
         self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
                               dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
@@ -324,6 +328,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
     if cfg.lorb == "m3ae":
         kw["scan_blocks"] = cfg.scan_blocks
         kw["scan_unroll"] = cfg.scan_unroll
+        kw["remat_blocks"] = cfg.remat_blocks
         kw["model_type"] = cfg.m3ae_size
         if cfg.modal3:
             return Modal3Classifier(**kw)

@@ -61,6 +61,11 @@ class M3AEConfig:
                                 # dev/CI iteration knob. Params live stacked
                                 # under 'blocks' (L, ...); convert layouts
                                 # with pp.to_scan_layout/from_scan_layout.
+    remat_blocks: bool = False  # jax.checkpoint each block inside the scan:
+                                # the backward recomputes block activations
+                                # instead of storing all `depth` residual
+                                # sets — the single-chip memory lever for
+                                # the large/huge sizes. Requires scan_blocks.
 
     @property
     def emb_dim(self):
@@ -106,8 +111,9 @@ class M3AEEncoder(nn.Module):
             # (identical math to the unrolled stack; HLO is ~depth-x smaller,
             # which cuts cold XLA compiles of the ViT-Base step from minutes
             # to tens of seconds). Same stacked layout pp consumes.
+            cell = nn.remat(M3AEBlock) if c.remat_blocks else M3AEBlock
             self.blocks_scanned = nn.scan(
-                M3AEBlock,
+                cell,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,

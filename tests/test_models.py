@@ -247,6 +247,30 @@ class TestScanBlocks:
             np.testing.assert_array_equal(np.asarray(out_u),
                                           np.asarray(out_n))
 
+    def test_remat_blocks_identical_values_and_grads(self):
+        """--remat_blocks recomputes instead of storing block activations —
+        forward AND gradients must be bit-identical to the plain scan."""
+        from mla_tpu.models.m3ae import M3AEConfig, M3AEEncoder
+        from mla_tpu.parallel import pp
+        enc_u, enc_s, image, text, tmask = self._fixtures()
+        enc_r = M3AEEncoder(M3AEConfig(model_type="debug", text_vocab_size=64,
+                                       scan_blocks=True, remat_blocks=True),
+                            jnp.float32)
+        vu = enc_u.init(jax.random.key(0), image, text, tmask)
+        ps = {"params": pp.to_scan_layout(vu["params"])}
+
+        def loss(enc):
+            def f(v):
+                return jnp.sum(enc.apply(v, image, text, tmask) ** 2)
+            return jax.jit(jax.value_and_grad(f))(ps)
+
+        (ls, gs), (lr, gr) = loss(enc_s), loss(enc_r)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lr))
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
     def test_layout_roundtrip(self):
         from mla_tpu.parallel import pp
         enc_u, _, image, text, tmask = self._fixtures()
