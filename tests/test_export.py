@@ -38,21 +38,22 @@ def _state_and_batch(cfg):
     return model, state, batch
 
 
-class TestExportRoundTrip:
-    @pytest.fixture(scope="class")
-    def av_export(self, tmp_path_factory):
-        """Tiny AV gs+dynamic model (the padding-sensitive gating path)."""
-        root = str(tmp_path_factory.mktemp("cre"))
-        synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
-        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
-                        dynamic=True, image_size=32,
-                        resnet_stages=(1, 1, 1, 1), batch_size=4,
-                        data_root=root).validate()
-        model, state, batch = _state_and_batch(cfg)
-        out = str(tmp_path_factory.mktemp("art"))
-        export_serving(cfg, model, state, batch, out, batch_sizes=(2, 4))
-        return cfg, model, state, batch, out
+@pytest.fixture(scope="module")
+def av_export(tmp_path_factory):
+    """Tiny AV gs+dynamic model (the padding-sensitive gating path)."""
+    root = str(tmp_path_factory.mktemp("cre"))
+    synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
+    cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                    dynamic=True, image_size=32,
+                    resnet_stages=(1, 1, 1, 1), batch_size=4,
+                    data_root=root).validate()
+    model, state, batch = _state_and_batch(cfg)
+    out = str(tmp_path_factory.mktemp("art"))
+    export_serving(cfg, model, state, batch, out, batch_sizes=(2, 4))
+    return cfg, model, state, batch, out
 
+
+class TestExportRoundTrip:
     def test_artifact_matches_direct_eval(self, av_export):
         cfg, model, state, batch, out = av_export
         srv = load_serving(out)
@@ -130,6 +131,47 @@ class TestExportCLIP:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got["logits_v"], np.asarray(out_m["v"]),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestServeCLI:
+    def test_batch_inference_cli(self, av_export, tmp_path):
+        """python -m mla_tpu.runtime.serve: npz in -> chunked logits out."""
+        from mla_tpu.runtime import serve
+
+        cfg, model, state, batch, out = av_export
+        keys = feature_keys(model)
+        # 7 examples across a 4-rung artifact -> two chunks (4 + 3-padded);
+        # float features cross the boundary as float32 (npz-safe even when
+        # the Loader emitted bfloat16)
+        def np32(a):
+            a = np.asarray(a)
+            return a.astype(np.float32) if jnp.issubdtype(
+                a.dtype, jnp.floating) else a
+        feats = {k: np.concatenate([np32(batch[k]), np32(batch[k])[:3]])
+                 for k in keys}
+        inp = str(tmp_path / "feats.npz")
+        outp = str(tmp_path / "preds.npz")
+        np.savez(inp, **feats)
+        serve.main(["--artifact", out, "--input", inp,
+                    "--output", outp, "--topk", "3"])
+        with np.load(outp) as z:
+            assert z["fused"].shape == (7, cfg.n_classes)
+            assert z["topk"].shape == (7, 3)
+            # chunking == direct serving on each slice
+            srv = load_serving(out)
+            direct = srv({k: v[:4] for k, v in feats.items()})
+            np.testing.assert_array_equal(z["fused"][:4], direct["fused"])
+            assert (z["topk"][:, 0]
+                    == np.argmax(z["fused"], axis=1)).all()
+
+    def test_missing_feature_exits(self, av_export, tmp_path):
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        inp = str(tmp_path / "feats.npz")
+        np.savez(inp, spec=np.asarray(batch["spec"]))
+        with pytest.raises(SystemExit, match="missing features"):
+            serve.main(["--artifact", out, "--input", inp])
 
 
 class TestDriverExportHook:
