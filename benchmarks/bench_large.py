@@ -4,7 +4,7 @@ The reference defines large/huge encoder configs (m3ae.py:226-268) but only
 ever constructs base; --m3ae_size makes them trainable here. Single chip:
 --scan_blocks keeps the 24-deep stack's HLO (and compile time) small; batch
 is sized to HBM. Usage:
-PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py [batch] [size]
+PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py [batch] [size] [remat]
 
 Chained-protocol timing (donated state threads step N's output into N+1,
 one trailing host read — BASELINE.md measurement notes).
@@ -30,6 +30,7 @@ from mla_tpu.train.state import create_train_state  # noqa: E402
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     size = sys.argv[2] if len(sys.argv) > 2 else "large"
+    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
     rng = np.random.default_rng(0)
     batch = {
         "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
@@ -40,9 +41,11 @@ def main():
         "idx": jnp.arange(B, dtype=jnp.int32),
         "valid": jnp.ones((B,), jnp.float32)}
     cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
-                    m3ae_size=size, scan_blocks=True, train=True).validate()
+                    m3ae_size=size, scan_blocks=True, remat_blocks=remat,
+                    train=True).validate()
     model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=size,
-                           scan_blocks=True, dtype=jnp.bfloat16)
+                           scan_blocks=True, remat_blocks=remat,
+                           dtype=jnp.bfloat16)
     spec = optim.make_spec(cfg)
     t0 = time.perf_counter()
     state = create_train_state(model, cfg, batch, spec)
@@ -71,6 +74,7 @@ def main():
     stats = jax.local_devices()[0].memory_stats() or {}
     print(json.dumps({
         "device": jax.devices()[0].device_kind, "size": size, "batch": B,
+        "remat": remat,
         "params_m": round(n_params / 1e6, 1),
         "step_ms": round(dt * 1e3, 1),
         "clips_per_sec": round(B / dt, 1),
