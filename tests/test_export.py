@@ -2,6 +2,8 @@
 batch padding, and the driver --export_dir hook. CPU platform — the
 exported StableHLO targets whatever platform the test runs on."""
 
+import json
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -172,6 +174,54 @@ class TestServeCLI:
         np.savez(inp, spec=np.asarray(batch["spec"]))
         with pytest.raises(SystemExit, match="missing features"):
             serve.main(["--artifact", out, "--input", inp])
+
+
+class TestHTTPServer:
+    def test_predict_meta_health_and_errors(self, av_export):
+        """--http mode: npz request/response over a real socket."""
+        import io
+        import threading
+        import urllib.request
+        from urllib.error import HTTPError
+
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        httpd = serve.make_server(srv, port=0)  # ephemeral port
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                assert json.loads(r.read())["ok"] is True
+            with urllib.request.urlopen(f"{base}/meta") as r:
+                assert json.loads(r.read())["family"] == "AVClassifier"
+
+            keys = feature_keys(model)
+            feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                     for k in keys}
+            buf = io.BytesIO()
+            np.savez(buf, **{k: v[:3] for k, v in feats.items()})
+            req = urllib.request.Request(f"{base}/predict",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req) as r:
+                with np.load(io.BytesIO(r.read())) as z:
+                    got = {k: z[k] for k in z.files}
+            direct = srv({k: v[:3] for k, v in feats.items()})
+            np.testing.assert_array_equal(got["fused"], direct["fused"])
+
+            # malformed request -> 400, not a dead server
+            bad = urllib.request.Request(f"{base}/predict", data=b"junk",
+                                         method="POST")
+            with pytest.raises(HTTPError) as ei:
+                urllib.request.urlopen(bad)
+            assert ei.value.code == 400
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                assert r.status == 200
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
 
 
 class TestDriverExportHook:
