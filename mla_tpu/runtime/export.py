@@ -35,7 +35,7 @@ from jax import export as jax_export
 
 from mla_tpu.core.config import MLAConfig
 from mla_tpu.evals.metrics import eval_logits
-from mla_tpu.models.classifiers import build_classifier, modalities_of
+from mla_tpu.models.classifiers import modalities_of
 
 # Per-sample input tensors each classifier family reads from the batch dict
 # (models/classifiers.py __call__ bodies; shapes are per-sample, the leading
