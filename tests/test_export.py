@@ -224,6 +224,53 @@ class TestHTTPServer:
             httpd.server_close()
 
 
+@pytest.mark.slow
+class TestTorchCkptToArtifact:
+    def test_reference_pth_to_serving_artifact(self, tmp_path):
+        """The migration path for a reference user: their trained torch .pth
+        -> eval-only driver (torch->flax shim, driver.py .pth branch) ->
+        serving artifact; artifact logits reproduce the driver's eval
+        accuracy. Covers the driver's .pth eval-only branch end-to-end
+        (ab_harness covers the shim numerics; this covers the wiring)."""
+        import torch
+        import torch.nn as nn
+
+        import ab_harness
+        from mla_tpu.runtime.driver import run
+
+        root = str(tmp_path / "cre")
+        synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))
+        # full ResNet-18 stages: the reference model is not depth-reducible
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        image_size=32, batch_size=4, data_root=root,
+                        train=False, num_workers=0,
+                        use_tensorboard=False,
+                        export_dir=str(tmp_path / "art"),
+                        export_batch_sizes=(4,)).validate()
+
+        ref = ab_harness.load_reference()
+        args = ab_harness.ref_namespace(cfg, 0.55)
+        ref.setup_seed(cfg.random_seed)
+        tmodel = ref.AVClassifier(args)
+        tmodel.apply(ref.weight_init)
+        tmodel = nn.DataParallel(tmodel)     # main.py:732 ('module.' prefix)
+        pth = str(tmp_path / "trained.pth")
+        torch.save({"model": tmodel.state_dict()}, pth)
+
+        _, accs = run(cfg.replace(ckpt_path=pth))
+        srv = load_serving(cfg.export_dir)
+        assert srv.meta["family"] == "AVClassifier"
+
+        ad = build_adapter(cfg, "test")
+        gen = Loader(ad, cfg.batch_size, shuffle=False, seed=0).epoch(0)
+        batch = next(gen)
+        gen.close()
+        got = srv({k: np.asarray(batch[k]) for k in srv.feature_names})
+        acc = float(np.mean(np.argmax(got["fused"], axis=1)
+                            == np.asarray(batch["label"])))
+        assert abs(acc - accs["acc"]) < 1e-6
+
+
 class TestDriverExportHook:
     def test_eval_only_export(self, tmp_path):
         """--export_dir on the eval-only branch writes a loadable artifact
