@@ -9,8 +9,10 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av]
 """
+
+import sys
 
 import json
 import time
@@ -24,29 +26,45 @@ import numpy as np  # noqa: E402
 
 from mla_tpu.core.config import MLAConfig  # noqa: E402
 from mla_tpu.evals.metrics import eval_logits  # noqa: E402
-from mla_tpu.models.classifiers import M3AEClassifier  # noqa: E402
+from mla_tpu.models.classifiers import AVClassifier, M3AEClassifier  # noqa: E402
 from mla_tpu.runtime import export as ex  # noqa: E402
 from mla_tpu.train import optim  # noqa: E402
 from mla_tpu.train.state import create_train_state  # noqa: E402
 
 
 def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "m3ae"
     rng = np.random.default_rng(0)
     B = 64
-    batch = {
-        "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
-        "padding_mask": jnp.zeros((B, 256), jnp.float32),
-        "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
-                             jnp.float32),
-        "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
-        "idx": jnp.arange(B, dtype=jnp.int32),
-        "valid": jnp.ones((B,), jnp.float32)}
-    cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
-                    dynamic=True, train=True).validate()
-    model = M3AEClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16)
+    if which == "m3ae":
+        batch = {
+            "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
+            "padding_mask": jnp.zeros((B, 256), jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
+            "idx": jnp.arange(B, dtype=jnp.int32),
+            "valid": jnp.ones((B,), jnp.float32)}
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        dynamic=True, train=True).validate()
+        model = M3AEClassifier(n_classes=101, gs_flag=True,
+                               dtype=jnp.bfloat16)
+    else:
+        # the CREMA-D headline config (ResNet-18 x2, MLA + dynamic fusion)
+        batch = {
+            "spec": jnp.asarray(rng.standard_normal((B, 1, 257, 626)),
+                                jnp.float32),
+            "image": jnp.asarray(
+                rng.standard_normal((B, 3, 3, 224, 224)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 6, B), jnp.int32),
+            "idx": jnp.arange(B, dtype=jnp.int32),
+            "valid": jnp.ones((B,), jnp.float32)}
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        dynamic=True, train=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.bfloat16)
     state = create_train_state(model, cfg, batch, spec=optim.make_spec(cfg))
 
-    out_dir = "/tmp/serving_art_m3ae"
+    out_dir = f"/tmp/serving_art_{which}"
     t0 = time.perf_counter()
     ex.export_serving(cfg, model, state, batch, out_dir,
                       batch_sizes=(1, 8, 64))
@@ -104,6 +122,7 @@ def main():
                      "h2d_mb_per_call": round(h2d_mb, 1)})
 
     print(json.dumps({
+        "config": which,
         "device": jax.devices()[0].device_kind,
         "export_s": round(t_export, 1), "load_s": round(t_load, 1),
         "max_abs_err_vs_live_graph": err,
