@@ -98,13 +98,8 @@ def main():
 
         # device-resident path: executable() with pre-placed inputs — the
         # compute number a real TPU host (PCIe, not the axon relay) sees
-        b = srv._rung(n)
+        padded, _, b = srv.pad_request(sub)
         params, bstats = srv.weights
-        padded = {k: np.concatenate(
-            [v, np.zeros((b - n,) + v.shape[1:], v.dtype)]) for k, v in
-            sub.items()}
-        padded["valid"] = np.concatenate(
-            [np.ones(n, np.float32), np.zeros(b - n, np.float32)])
         dev = jax.device_put(padded)
         call = srv.executable(b)
         out = call(params, bstats, dev)

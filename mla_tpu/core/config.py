@@ -247,6 +247,15 @@ class MLAConfig:
             raise ValueError("--scan_unroll needs --scan_blocks")
         if self.remat_blocks and not self.scan_blocks:
             raise ValueError("--remat_blocks needs --scan_blocks")
+        if self.remat_blocks and self.pp_microbatches:
+            raise ValueError(
+                "--remat_blocks does not apply under --pp_microbatches (the "
+                "pipeline path bypasses the scanned stack); use --pp_remat")
+        if self.export_batch_sizes and not self.export_dir:
+            raise ValueError("--export_batch_sizes needs --export_dir")
+        if any(b < 1 for b in self.export_batch_sizes):
+            raise ValueError("--export_batch_sizes must be positive, got "
+                             f"{self.export_batch_sizes}")
         if self.pp_microbatches and not self.scan_blocks:
             raise ValueError("--pp_microbatches requires --scan_blocks "
                              "(the stacked block layout pp stages consume)")

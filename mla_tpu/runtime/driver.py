@@ -177,11 +177,14 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             state = ckpt_lib.restore_checkpoint(cfg.ckpt_path, state)
         # restored leaves are host-local; promote back onto the global mesh
         state = place_state(state)
-        if cfg.export_dir:
-            from mla_tpu.runtime.export import export_from_driver
-            export_from_driver(cfg, model, state, sample)
         accs = evaluate(cfg, model, state, test_loader, eval_step)
         print("Accuracy:", accs)
+        if cfg.export_dir:
+            # after evaluate: export clears the trace-time parallel switches
+            # (the serving graph is single-device), which would otherwise
+            # break a subsequent sp/pp-sharded eval step
+            from mla_tpu.runtime.export import export_from_driver
+            export_from_driver(cfg, model, state, sample)
         return jax.block_until_ready(state), accs
 
     start_epoch = 0

@@ -98,21 +98,48 @@ def _specs_for(example_features: Dict[str, np.ndarray], keys: Sequence[str],
     return specs
 
 
+def _host_fetch(tree):
+    """Device tree -> host numpy, one replica's worth per leaf.
+
+    Works for single-device, single-process-sharded, and multi-process
+    fully-REPLICATED global arrays (each process holds a complete copy).
+    Model-axis-sharded leaves spanning processes cannot be fetched here —
+    the serving graph is single-device anyway — so fail with direction."""
+    def fetch(x):
+        if hasattr(x, "addressable_data") and not x.is_fully_addressable:
+            shard = x.addressable_data(0)
+            if shard.shape != x.shape:
+                raise ValueError(
+                    "export_serving: params are sharded across processes "
+                    f"(leaf {x.shape} -> local shard {shard.shape}); export "
+                    "from a single-process run (eval-only --export_dir on "
+                    "the saved checkpoint) or without a model axis")
+            return np.asarray(shard)
+        return np.asarray(jax.device_get(x))
+    return jax.tree.map(fetch, tree)
+
+
 def export_serving(cfg: MLAConfig, model, state, example_batch,
                    out_dir: str, batch_sizes: Sequence[int] = (1, 8, 64),
                    platforms: Optional[Sequence[str]] = None) -> str:
     """Serialize the eval forward at each batch size + the weights.
 
     example_batch: any batch dict from a Loader (only feature shapes/dtypes
-    are read). Returns out_dir.
+    are read). Returns out_dir. Multi-process: every process traces (cheap,
+    no collectives) but only process 0 writes files.
     """
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(
+            f"batch_sizes must be positive ints, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
     keys = feature_keys(model)
     serve = make_serving_fn(model, cfg)
-    params = jax.device_get(state.params)
-    batch_stats = jax.device_get(state.batch_stats) if state.batch_stats \
+    params = _host_fetch(state.params)
+    batch_stats = _host_fetch(state.batch_stats) if state.batch_stats \
         else {}
     example = {k: np.asarray(example_batch[k]) for k in keys}
+    write = jax.process_index() == 0
 
     p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                           params)
@@ -124,16 +151,19 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
     disabled = (jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
                 jax_export.DisabledSafetyCheck.custom_call("Sharding"))
 
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
     for b in batch_sizes:
         f_spec = _specs_for(example, keys, b)
         exp = jax_export.export(
             jax.jit(serve), platforms=platforms,
             disabled_checks=disabled)(p_spec, bs_spec, f_spec)
-        with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"), "wb") as f:
-            f.write(bytes(exp.serialize()))
+        if write:
+            with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"),
+                      "wb") as f:
+                f.write(bytes(exp.serialize()))
         exported_platforms = exp.platforms
 
+    if not write:
+        return out_dir
     with open(os.path.join(out_dir, _PARAMS), "wb") as f:
         f.write(flax_ser.msgpack_serialize(jax.tree.map(np.asarray, params)))
     with open(os.path.join(out_dir, _BATCH_STATS), "wb") as f:
@@ -214,13 +244,20 @@ class ServingModel:
             f"request batch {n} exceeds the largest exported batch size "
             f"{self.batch_sizes[-1]}; re-export with a larger ladder")
 
-    def __call__(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def pad_request(self, features: Dict[str, np.ndarray],
+                    batch_size: Optional[int] = None):
+        """Validate + pad a request to a ladder rung: -> (padded, n, rung).
+        Padded rows carry valid=0 (masked by the gating). Shared by
+        __call__ and external callers (e.g. benchmarks) so request
+        preparation cannot drift from what the executable expects."""
         names = self.feature_names
         missing = [k for k in names if k not in features]
         if missing:
             raise KeyError(f"serving request missing features {missing}")
         n = int(np.asarray(features[names[0]]).shape[0])
-        b = self._rung(n)
+        if n < 1:
+            raise ValueError("serving request has 0 rows")
+        b = batch_size if batch_size is not None else self._rung(n)
         padded = {}
         for k in names:
             a = np.asarray(features[k])
@@ -234,6 +271,10 @@ class ServingModel:
             padded[k] = np.concatenate([a.astype(spec["dtype"]), pad], axis=0)
         padded["valid"] = np.concatenate(
             [np.ones(n, np.float32), np.zeros(b - n, np.float32)])
+        return padded, n, b
+
+    def __call__(self, features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        padded, n, b = self.pad_request(features)
         out = self._calls[b](self._params, self._batch_stats, padded)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
@@ -243,7 +284,21 @@ def load_serving(out_dir: str) -> ServingModel:
 
 
 def export_from_driver(cfg: MLAConfig, model, state, sample_batch) -> str:
-    """Driver hook for --export_dir: export after params are built/restored."""
+    """Driver hook for --export_dir: export after params are built/restored.
+
+    Must run after the run's last train/eval step: the serving graph is
+    single-device, so the sp/pp trace-time switches are CLEARED (a pp/sp
+    trace would bake mesh collectives into the artifact) and the flat
+    attention kernels re-enabled (the driver disables them under a model
+    axis). run()'s finally-block resets all three anyway."""
+    from mla_tpu.ops import attention as attn_lib
+    from mla_tpu.parallel import pp, sp
+    if sp.is_enabled() or pp.train_config() is not None:
+        print("NOTE: --export_dir ignores --seq_parallel/--pp_microbatches "
+              "— the serving artifact is a single-device graph")
+    sp.disable()
+    pp.disable_train()
+    attn_lib.set_flat_attention(True)
     sizes = tuple(cfg.export_batch_sizes) if cfg.export_batch_sizes else \
         (1, 8, cfg.batch_size)
     path = export_serving(cfg, model, state, sample_batch, cfg.export_dir,

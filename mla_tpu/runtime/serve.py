@@ -39,7 +39,12 @@ from mla_tpu.runtime.export import load_serving
 def run_batch(srv, feats: dict, chunk: int | None = None):
     """Chunk a request of any length through the artifact's batch ladder."""
     names = srv.feature_names
+    if names[0] not in feats:
+        raise KeyError(f"serving request missing features "
+                       f"{[k for k in names if k not in feats]}")
     n = int(np.asarray(feats[names[0]]).shape[0])
+    if n < 1:
+        raise ValueError("serving request has 0 rows")
     chunk = chunk or srv.batch_sizes[-1]
     outs = []
     for lo in range(0, n, chunk):
@@ -80,8 +85,8 @@ def make_server(srv, port: int, host: str = "127.0.0.1"
             if self.path != "/predict":
                 self._send(404, b'{"error": "unknown path"}')
                 return
-            n = int(self.headers.get("Content-Length", 0))
             try:
+                n = int(self.headers.get("Content-Length", 0))
                 with np.load(io.BytesIO(self.rfile.read(n))) as z:
                     feats = {k: z[k] for k in z.files}
                 with lock:

@@ -105,6 +105,28 @@ class TestExportRoundTrip:
         with pytest.raises(ValueError, match="per-sample shape"):
             srv(bad)
 
+    def test_empty_and_invalid_ladders(self, av_export, tmp_path):
+        """Review follow-ups: 0-row requests, empty/invalid batch ladders,
+        and the config-level export flag validation fail loudly."""
+        cfg, model, state, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        with pytest.raises(ValueError, match="0 rows"):
+            srv({k: np.asarray(batch[k])[:0] for k in keys})
+        with pytest.raises(ValueError, match="positive"):
+            export_serving(cfg, model, state, batch,
+                           str(tmp_path / "bad"), batch_sizes=())
+        with pytest.raises(ValueError, match="positive"):
+            export_serving(cfg, model, state, batch,
+                           str(tmp_path / "bad"), batch_sizes=(0, 4))
+        with pytest.raises(ValueError, match="export_batch_sizes"):
+            cfg.replace(export_batch_sizes=(4,), export_dir=None)
+        with pytest.raises(ValueError, match="positive"):
+            cfg.replace(export_batch_sizes=(0,), export_dir="x")
+        with pytest.raises(ValueError, match="pp_remat"):
+            cfg.replace(scan_blocks=True, remat_blocks=True,
+                        pp_microbatches=2)
+
     def test_meta_records_contract(self, av_export):
         cfg, model, _, _, out = av_export
         srv = load_serving(out)
@@ -217,6 +239,19 @@ class TestHTTPServer:
             with pytest.raises(HTTPError) as ei:
                 urllib.request.urlopen(bad)
             assert ei.value.code == 400
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                assert r.status == 200
+
+            # malformed Content-Length HEADER also gets a 400 (parse is
+            # inside the error surface, review follow-up)
+            import http.client
+            c = http.client.HTTPConnection("127.0.0.1",
+                                           httpd.server_address[1])
+            c.putrequest("POST", "/predict")
+            c.putheader("Content-Length", "abc")
+            c.endheaders()
+            assert c.getresponse().status == 400
+            c.close()
             with urllib.request.urlopen(f"{base}/healthz") as r:
                 assert r.status == 200
         finally:
