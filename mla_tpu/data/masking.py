@@ -46,6 +46,12 @@ def random_mask(view_num: int, alldata_len: int, missing_rate: float,
         matrix_iter = (rng.integers(0, 100, size=(alldata_len, view_num))
                        < int(ratio * 100)).astype(int)
         a = np.sum(((matrix_iter + view_preserve) > 1).astype(int))
+        if a >= one_num:
+            # degenerate draw on tiny datasets: every target cell collided
+            # with the preserved view; the reference's correction
+            # one_num/(1 - a/one_num) (dataset.py:625) is infinite/negative
+            # here — redraw instead of overflowing
+            continue
         one_num_iter = one_num / (1 - a / one_num)
         ratio = one_num_iter / (view_num * alldata_len)
         matrix_iter = (rng.integers(0, 100, size=(alldata_len, view_num))
@@ -55,7 +61,9 @@ def random_mask(view_num: int, alldata_len: int, missing_rate: float,
         error = abs(one_rate - ratio)
         if error < best_err:
             best_err, best = error, matrix
-    return best
+    # every draw degenerate (possible only for a handful of samples):
+    # fall back to one preserved view per row — the invariant that matters
+    return best if best is not None else one_hot_rows()
 
 
 def qmf_mask_set(names, mask_percent: float) -> set:

@@ -127,6 +127,15 @@ class TestRandomMask:
         assert (m.sum(axis=1) >= 1).all()
         assert abs(m.mean() - 0.5) < 0.05
 
+    def test_tiny_dataset_no_overflow(self):
+        """n=4, rate 0.5: integer collision count can hit the target count
+        exactly, making the reference's correction term infinite
+        (dataset.py:625) — must redraw, not OverflowError."""
+        for seed in range(20):
+            m = random_mask(3, 4, 0.5, np.random.default_rng(seed))
+            assert m.shape == (4, 3)
+            assert (m.sum(axis=1) >= 1).all()
+
     def test_extreme_rates(self):
         m = random_mask(3, 50, 0.9, np.random.default_rng(1))
         assert (m.sum(axis=1) == 1).all()   # exactly one view preserved

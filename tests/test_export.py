@@ -260,6 +260,33 @@ class TestHTTPServer:
 
 
 @pytest.mark.slow
+class TestExportModal3QMF:
+    def test_modal3_qmf_round_trip(self, tmp_path):
+        """Third heavy family (CAV-MAE + 2x M3AE) and the QMF
+        energy-confidence fusion branch of eval_logits, through the
+        artifact. Slow tier: the CAV-MAE S=512 stack is a heavy CPU
+        compile."""
+        root = str(tmp_path / "iemo")
+        synthetic.make_iemocap(root, n_train=4, n_test=4)
+        cfg = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True,
+                        modulation="QMF", mask_percent=0.5, batch_size=2,
+                        data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out = str(tmp_path / "art")
+        export_serving(cfg, model, state, batch, out, batch_sizes=(2,))
+        srv = load_serving(out)
+        assert srv.meta["family"] == "Modal3Classifier"
+        assert set(srv.feature_names) == {"fbank", "image", "token",
+                                          "padding_mask", "valid"} - {"valid"}
+        got = srv({k: np.asarray(batch[k]) for k in srv.feature_names})
+        out_m, fused = _direct(model, cfg, state, batch, 2)
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["logits_t"], np.asarray(out_m["t"]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 class TestTorchCkptToArtifact:
     def test_reference_pth_to_serving_artifact(self, tmp_path):
         """The migration path for a reference user: their trained torch .pth
