@@ -9,7 +9,7 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3]
 """
 
 import sys
@@ -49,6 +49,23 @@ def main():
                         dynamic=True, train=True).validate()
         model = M3AEClassifier(n_classes=101, gs_flag=True,
                                dtype=jnp.bfloat16)
+    elif which == "modal3":
+        # IEMOCAP 3-modality (CAV-MAE audio + M3AE image/text, MLA dynamic)
+        from mla_tpu.models.classifiers import Modal3Classifier
+        batch = {
+            "fbank": jnp.asarray(rng.standard_normal((B, 1024, 128)),
+                                 jnp.float32),
+            "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
+            "padding_mask": jnp.zeros((B, 256), jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 4, B), jnp.int32),
+            "idx": jnp.arange(B, dtype=jnp.int32),
+            "valid": jnp.ones((B,), jnp.float32)}
+        cfg = MLAConfig(dataset="IEMOCAP", lorb="m3ae", modal3=True,
+                        gs_flag=True, dynamic=True, train=True).validate()
+        model = Modal3Classifier(n_classes=4, gs_flag=True,
+                                 dtype=jnp.bfloat16)
     else:
         # the CREMA-D headline config (ResNet-18 x2, MLA + dynamic fusion)
         batch = {
