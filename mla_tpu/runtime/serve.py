@@ -136,11 +136,15 @@ def main(argv=None):
     if args.output:
         np.savez(args.output, **out)
     n = out["fused"].shape[0]
-    print(json.dumps({
+    summary = {
         "examples": n, "n_classes": int(out["fused"].shape[1]),
         "family": srv.meta["family"],
         "pred_head": out["topk"][:, 0][:16].tolist(),
-        "output": args.output}))
+        "output": args.output}
+    if "label" in feats:  # labeled npz: report accuracy directly
+        label = np.asarray(feats["label"]).reshape(-1)[:n]
+        summary["accuracy"] = float(np.mean(out["topk"][:, 0] == label))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ class TestExportCLIP:
 
 
 class TestServeCLI:
-    def test_batch_inference_cli(self, av_export, tmp_path):
+    def test_batch_inference_cli(self, av_export, tmp_path, capsys):
         """python -m mla_tpu.runtime.serve: npz in -> chunked logits out."""
         from mla_tpu.runtime import serve
 
@@ -175,9 +175,14 @@ class TestServeCLI:
                  for k in keys}
         inp = str(tmp_path / "feats.npz")
         outp = str(tmp_path / "preds.npz")
-        np.savez(inp, **feats)
+        label = np.concatenate([np.asarray(batch["label"]),
+                                np.asarray(batch["label"])[:3]])
+        np.savez(inp, label=label, **feats)
         serve.main(["--artifact", out, "--input", inp,
                     "--output", outp, "--topk", "3"])
+        # labeled npz -> accuracy in the summary line
+        out_line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert 0.0 <= json.loads(out_line)["accuracy"] <= 1.0
         with np.load(outp) as z:
             assert z["fused"].shape == (7, cfg.n_classes)
             assert z["topk"].shape == (7, 3)
