@@ -71,16 +71,17 @@ def main():
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n
 
-    stats = jax.local_devices()[0].memory_stats() or {}
-    print(json.dumps({
+    out = {
         "device": jax.devices()[0].device_kind, "size": size, "batch": B,
         "remat": remat,
         "params_m": round(n_params / 1e6, 1),
         "step_ms": round(dt * 1e3, 1),
         "clips_per_sec": round(B / dt, 1),
-        "compile_s": round(t_compile, 1),
-        "peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)},
-        indent=1))
+        "compile_s": round(t_compile, 1)}
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if stats.get("peak_bytes_in_use"):  # unavailable through the axon relay
+        out["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

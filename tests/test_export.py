@@ -127,6 +127,26 @@ class TestExportRoundTrip:
             cfg.replace(scan_blocks=True, remat_blocks=True,
                         pp_microbatches=2)
 
+    def test_export_from_driver_clears_parallel_switches(self, av_export,
+                                                         tmp_path):
+        """The artifact is a single-device graph: the driver hook must clear
+        the sp/pp trace-time switches before tracing (review follow-up)."""
+        from mla_tpu.parallel import sp
+        from mla_tpu.parallel.mesh import make_mesh
+        from mla_tpu.runtime.export import export_from_driver
+
+        cfg, model, state, batch, out = av_export
+        mesh = make_mesh(mesh_shape=(4, 2))
+        assert sp.enable(mesh)
+        try:
+            cfg2 = cfg.replace(export_dir=str(tmp_path / "a2"),
+                               export_batch_sizes=(4,))
+            export_from_driver(cfg2, model, state, batch)
+            assert not sp.is_enabled()
+            assert load_serving(cfg2.export_dir).batch_sizes == [4]
+        finally:
+            sp.disable()
+
     def test_meta_records_contract(self, av_export):
         cfg, model, _, _, out = av_export
         srv = load_serving(out)
