@@ -177,6 +177,33 @@ class TestExportCLIP:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestExportScanBlocks:
+    def test_scan_blocks_model_round_trip(self, tmp_path):
+        """large/huge deployments use --scan_blocks (stacked block params):
+        the lax.scan block stack and its (L, ...) param layout must survive
+        export/deserialize. Debug size keeps the CPU compile small."""
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        assert "blocks" in state.params["mae_a"]  # stacked layout in play
+        out = str(tmp_path / "art")
+        export_serving(cfg, model, state, batch, out, batch_sizes=(2,))
+        srv = load_serving(out)
+        got = srv({k: np.asarray(batch[k]) for k in srv.feature_names})
+        out_m, fused = _direct(model, cfg, state, batch, 2)
+        # per-modality logits are bit-exact through the artifact; the bf16
+        # alpha-blend picks up one-ulp rounding between the two compiled
+        # graphs (measured max diff = ulp(1.2) = 0.0078)
+        for m in ("a", "v"):
+            np.testing.assert_array_equal(got[f"logits_{m}"],
+                                          np.asarray(out_m[m]))
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=1e-2, atol=1e-2)
+
+
 class TestServeCLI:
     def test_batch_inference_cli(self, av_export, tmp_path, capsys):
         """python -m mla_tpu.runtime.serve: npz in -> chunked logits out."""
