@@ -9,7 +9,8 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge]
+(large/huge: scan-blocks M3AE at that size, ladder (1, 16))
 """
 
 import sys
@@ -32,11 +33,91 @@ from mla_tpu.train import optim  # noqa: E402
 from mla_tpu.train.state import create_train_state  # noqa: E402
 
 
+def _run_big(which, model, cfg, state, batch, rungs):
+    """large/huge flow: direct eval + export while the init weights are on
+    device, then FREE them before loading the artifact — two copies of the
+    huge fp32 tree (2 x 5.4 GB) plus activations exceed the 16 GB chip."""
+    import gc
+    B = int(batch["label"].shape[0])
+    direct = np.asarray(jax.jit(
+        lambda p, bs, b, v: eval_logits(model, cfg, p, bs, b, v)[1])(
+            state.params, state.batch_stats, batch,
+            jnp.ones(B, jnp.float32)))
+    out_dir = f"/tmp/serving_art_{which}"
+    t0 = time.perf_counter()
+    ex.export_serving(cfg, model, state, batch, out_dir, batch_sizes=rungs)
+    t_export = time.perf_counter() - t0
+    feats = {k: np.asarray(batch[k]) for k in ("token", "padding_mask",
+                                               "image")}
+    state.params = None
+    state.batch_stats = None
+    batch = None
+    gc.collect()
+
+    t0 = time.perf_counter()
+    srv = ex.load_serving(out_dir)
+    t_load = time.perf_counter() - t0
+    got = srv(feats)
+    err = float(np.max(np.abs(got["fused"] - direct)))
+
+    rows = []
+    for n in rungs:
+        sub = {k: v[:n] for k, v in feats.items()}
+        padded, _, b = srv.pad_request(sub)
+        params, bstats = srv.weights
+        dev = jax.device_put(padded)
+        call = srv.executable(b)
+        out = call(params, bstats, dev)
+        _ = float(out["fused"][0, 0])
+        t0 = time.perf_counter()
+        for _i in range(10):
+            out = call(params, bstats, dev)
+        _ = float(out["fused"][0, 0])
+        dt_dev = (time.perf_counter() - t0) / 10
+        rows.append({"batch": n,
+                     "device_resident_ms": round(dt_dev * 1e3, 2),
+                     "device_resident_clips_per_sec": round(n / dt_dev, 1)})
+
+    print(json.dumps({
+        "config": which, "device": jax.devices()[0].device_kind,
+        "export_s": round(t_export, 1), "load_s": round(t_load, 1),
+        "max_abs_err_vs_live_graph": err, "rungs": rows}, indent=1))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "m3ae"
     rng = np.random.default_rng(0)
     B = 64
-    if which == "m3ae":
+    rungs = (1, 8, 64)
+    if which in ("large", "huge"):
+        # the --m3ae_size large/huge deployment artifact (scan-blocks stack)
+        B = 16
+        rungs = (1, 16)
+        batch = {
+            "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
+            "padding_mask": jnp.zeros((B, 256), jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((B, 3, 256, 256)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
+            "idx": jnp.arange(B, dtype=jnp.int32),
+            "valid": jnp.ones((B,), jnp.float32)}
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        dynamic=True, m3ae_size=which, scan_blocks=True,
+                        train=True).validate()
+        model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=which,
+                               scan_blocks=True, dtype=jnp.bfloat16)
+        # init-only weights: create_train_state would also allocate SGD
+        # momentum (another 1x params = 5.4 GB for huge) and OOM the chip
+        # next to the artifact's own device-resident copy
+        import types
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        state = types.SimpleNamespace(params=variables["params"],
+                                      batch_stats=variables.get(
+                                          "batch_stats", {}))
+        del variables  # the namespace holds the only device refs now, so
+        #                _run_big's state.params = None actually frees HBM
+        return _run_big(which, model, cfg, state, batch, rungs)
+    elif which == "m3ae":
         batch = {
             "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
             "padding_mask": jnp.zeros((B, 256), jnp.float32),
@@ -84,7 +165,7 @@ def main():
     out_dir = f"/tmp/serving_art_{which}"
     t0 = time.perf_counter()
     ex.export_serving(cfg, model, state, batch, out_dir,
-                      batch_sizes=(1, 8, 64))
+                      batch_sizes=rungs)
     t_export = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -103,7 +184,7 @@ def main():
     err = float(np.max(np.abs(got["fused"] - np.asarray(direct))))
 
     rows = []
-    for n in (1, 8, 64):
+    for n in rungs:
         sub = {k: v[:n] for k, v in feats.items()}
         out = srv(sub)  # warm (compile/load executable)
         _ = float(out["fused"][0, 0])
