@@ -49,6 +49,13 @@ def _warn_native_fallback(adapter_name: str) -> None:
               "the per-sample Python IO path (make -C native to build)")
 
 
+def stack_samples(samples) -> Dict:
+    """Stack per-sample dicts into one host batch (the sample_host fallback
+    of every adapter and the Loader's pooled path share this)."""
+    return {k: np.stack([np.asarray(s[k]) for s in samples])
+            for k in samples[0]}
+
+
 class AVAdapter:
     """CREMA-D audio-visual, --lorb base (dataset.py:18-161).
 
@@ -108,8 +115,7 @@ class AVAdapter:
         if not nl.available():
             _warn_native_fallback(type(self).__name__)
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
-            return {k: np.stack([np.asarray(s[k]) for s in samples])
-                    for k in samples[0]}
+            return stack_samples(samples)
         if not hasattr(self, "_spec_shape"):
             probe = np.load(os.path.join(self.index.dir("audio"),
                                          self.index.names[indices[0]] + ".npy"))
@@ -202,8 +208,7 @@ class CAVAdapter:
         if not nl.available():
             _warn_native_fallback(type(self).__name__)
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
-            return {k: np.stack([np.asarray(s[k]) for s in samples])
-                    for k in samples[0]}
+            return stack_samples(samples)
         names = [self.index.names[i] for i in indices]
         fbank = nl.load_npy_batch(
             [os.path.join(self.index.dir("audio"), n + ".npy") for n in names],
@@ -279,7 +284,7 @@ class M3AEAdapter:
                                     np.float32),
                 "flip": flip, "label": self.index.labels[i], "idx": i}
 
-    def batch_host(self, indices, rngs) -> Dict:
+    def batch_host(self, indices, rngs, keep_hw: bool = False) -> Dict:
         """Native batch path: token/pm npys + JPEGs via the C++ thread pool;
         crop geometry sampled per-sample (same RNG stream as sample_host).
         Shared by the TV and Modal3 subclasses (their overrides extend it)."""
@@ -287,8 +292,7 @@ class M3AEAdapter:
         if not nl.available():
             _warn_native_fallback(type(self).__name__)
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
-            return {k: np.stack([np.asarray(s[k]) for s in samples])
-                    for k in samples[0]}
+            return stack_samples(samples)
         names = [self.index.names[i] for i in indices]
         tdir = self.index.dir("text")
         if not hasattr(self, "_token_len"):
@@ -315,10 +319,17 @@ class M3AEAdapter:
             else:
                 box = im.resize_center_crop_box(oh, ow, self.out, self.out)
             boxes[i] = T.scale_box(box, (oh, ow), self.canon)
-        return {"token": token, "pm": pm, "image_u8": imgs, "boxes": boxes,
-                "flip": flips, "_hw": hw,   # original sizes, for subclasses
-                "label": np.asarray([self.index.labels[i] for i in indices]),
-                "idx": np.asarray(indices)}
+        out = {"token": token, "pm": pm, "image_u8": imgs, "boxes": boxes,
+               "flip": flips,
+               "label": np.asarray([self.index.labels[i] for i in indices]),
+               "idx": np.asarray(indices)}
+        if keep_hw:
+            # host-only original sizes for the TVAdapter subclass; never in
+            # the plain M3AE batch (it would be padded and device_put, and a
+            # host on the python fallback would emit a different pytree ->
+            # multi-host key-set mismatch)
+            out["_hw"] = hw
+        return out
 
     def finish_batch(self, host: Dict, key) -> Dict:
         image = T.image_batch_transform(
@@ -367,7 +378,7 @@ class TVAdapter(M3AEAdapter):
         """Native path: tokens/pm/JPEG via the parent (same per-sample RNG
         order — box1/flip1 first), then the two extra train-time crop draws
         and the 3x pseudo-frame stack (dataset.py:559-574)."""
-        hb = super().batch_host(indices, rngs)
+        hb = super().batch_host(indices, rngs, keep_hw=True)
         if "frames" in hb:          # parent fell back to sample_host
             return hb
         b = len(indices)
@@ -499,8 +510,7 @@ class CLIPAdapter:
         if not nl.available():
             _warn_native_fallback(type(self).__name__)
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
-            return {k: np.stack([np.asarray(s[k]) for s in samples])
-                    for k in samples[0]}
+            return stack_samples(samples)
         names = [self.index.names[i] for i in indices]
         if not hasattr(self, "_feat_len"):
             self._feat_len = int(np.load(os.path.join(

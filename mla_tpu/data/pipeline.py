@@ -83,7 +83,6 @@ class Loader:
         if self.mesh is None or jax.process_count() == 1:
             return 0, self.batch_size
         from mla_tpu.parallel import distributed
-        from mla_tpu.parallel.mesh import batch_sharding
         return distributed.host_row_block(self.batch_size,
                                           batch_sharding(self.mesh))
 
@@ -122,11 +121,11 @@ class Loader:
                     # rows GIL-free into contiguous buffers
                     hb = batch_host(idxs, rngs)
                 else:
+                    from mla_tpu.data.datasets import stack_samples
                     samples = list(pool.map(
                         lambda t: self.adapter.sample_host(t[0], t[1]),
                         zip(idxs, rngs)))
-                    hb = {k: np.stack([np.asarray(s[k]) for s in samples])
-                          for k in samples[0]}
+                    hb = stack_samples(samples)
                 yield pad_rows(hb, n_real, width, self.n)
         finally:
             if pool is not None:
@@ -182,7 +181,10 @@ class Loader:
                     else:
                         sh = batch_sharding(self.mesh)
                         hb = {k: jax.device_put(v, sh) for k, v in hb.items()}
-                key = jax.random.fold_in(self.key, epoch * 100003 + step)
+                # two-level fold: the old epoch*100003+step linearization
+                # collided across epochs once an epoch exceeded 100003 steps
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self.key, epoch), step)
                 yield self.adapter.finish_batch(hb, key)
                 step += 1
         finally:

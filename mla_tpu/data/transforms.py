@@ -36,16 +36,19 @@ def scale_box(box, orig_hw, canon: int):
     return (i * canon / oh, j * canon / ow, h * canon / oh, w * canon / ow)
 
 
-def host_decode(path: str, canon: int) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """JPEG -> uint8 (canon, canon, 3) + original size."""
+def host_decode(path: str, canon) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """JPEG -> uint8 (h, w, 3) + original size; canon is int (square) or
+    (h, w). Raises on a missing/corrupt file — the caller decides the
+    zero-slot policy (native_loader.decode_jpeg_batch)."""
     import cv2
+    h, w = (canon, canon) if isinstance(canon, int) else canon
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         from PIL import Image
         pil = Image.open(path).convert("RGB")
         img = np.asarray(pil)[:, :, ::-1]
     hw = img.shape[:2]
-    img = cv2.resize(img, (canon, canon), interpolation=cv2.INTER_AREA)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
     return np.ascontiguousarray(img[:, :, ::-1]), hw   # BGR->RGB
 
 

@@ -6,8 +6,12 @@
 //   * batched .npy reads (spectrograms/fbanks/tokens/CLIP features) straight
 //     into one contiguous, preallocated batch buffer (zero Python-object
 //     churn, no GIL)
-//   * batched JPEG decode (libjpeg) + box-filtered bilinear resize to the
-//     canonical decode size consumed by the fused on-device transform
+//   * batched JPEG decode (libjpeg) + bilinear resize to the canonical
+//     decode size consumed by the fused on-device transform. NOTE: plain
+//     4-tap bilinear, statistically (not bitwise) equivalent to the
+//     fallback's cv2.INTER_AREA — pinned by test_native.py correlation
+//     bounds; keep native availability homogeneous across hosts if
+//     bit-identical multi-host batches matter.
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC, links -ljpeg)
 // Python binding: mla_tpu/data/native_loader.py (ctypes, graceful fallback).
@@ -136,6 +140,11 @@ bool ParseNpyHeader(FILE* f, NpyInfo* info) {
     p = header.find(':', p);
     return header.substr(p + 1, 64);
   };
+  // Fortran-ordered files store transposed raw data; reading them as
+  // C-order would silently scramble the array — reject so the numpy
+  // fallback (which honors fortran_order) handles them.
+  std::string fo = find_val("'fortran_order'");
+  if (fo.find("True") != std::string::npos) return false;
   std::string d = find_val("'descr'");
   size_t q1 = d.find('\'');
   size_t q2 = d.find('\'', q1 + 1);

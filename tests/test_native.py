@@ -42,6 +42,19 @@ class TestNativeNpy:
         np.testing.assert_allclose(out[3], arrays[3].reshape(-1)[:64 * 32]
                                    .reshape(64, 32), atol=1e-6)
 
+    def test_fortran_order_falls_back_correctly(self, tmp_path):
+        """np.save of a transposed view writes fortran_order=True without
+        copying; the C++ reader must reject it (review finding) so the
+        np.load fallback — which honors the flag — produces correct values,
+        not a silently transposed array."""
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        p = str(tmp_path / "f.npy")
+        np.save(p, a.T)                      # (4, 3), F-order on disk
+        with open(p, "rb") as fh:
+            assert b"'fortran_order': True" in fh.read(128)
+        out = nl.load_npy_batch([p], (4, 3))
+        np.testing.assert_array_equal(out[0], a.T)
+
     def test_int_tokens(self, tmp_path):
         tok = np.random.default_rng(1).integers(0, 30522, (1, 256)
                                                 ).astype(np.int64)
@@ -72,6 +85,26 @@ class TestNativeJpeg:
                                        (32, 32))
         assert out.shape == (1, 32, 32, 3)
         assert (out == 0).all() and hw[0].tolist() == [0, 0]
+
+    def test_python_fallback_zeroes_bad_slots_too(self, tmp_path, monkeypatch):
+        """The cv2/PIL fallback must mirror the native path's zero-slot
+        semantics instead of crashing the epoch on one corrupt file
+        (review finding), including non-square out_hw."""
+        import cv2
+        img = np.full((40, 30, 3), 128, np.uint8)
+        good = str(tmp_path / "good.jpg")
+        cv2.imwrite(good, img)
+        corrupt = str(tmp_path / "corrupt.jpg")
+        with open(corrupt, "wb") as fh:
+            fh.write(b"\xff\xd8junkjunk")
+        monkeypatch.setattr(nl, "_load", lambda: None)   # force fallback
+        out, hw = nl.decode_jpeg_batch(
+            [good, corrupt, str(tmp_path / "missing.jpg")], (16, 24))
+        assert out.shape == (3, 16, 24, 3)
+        assert abs(int(out[0].mean()) - 128) <= 2        # real decode+resize
+        assert hw[0].tolist() == [40, 30]
+        assert (out[1] == 0).all() and hw[1].tolist() == [0, 0]
+        assert (out[2] == 0).all() and hw[2].tolist() == [0, 0]
 
 
 class TestThroughput:
@@ -186,7 +219,12 @@ class TestAdapterNativeBatchPaths:
         cfg = MLAConfig(dataset="MVSA", lorb="m3ae", image_size=32,
                         data_root=root).validate()
         for mode in ("train", "test"):
-            self._assert_batch_matches_samples(M3AEAdapter(cfg, mode), 4)
+            ad = M3AEAdapter(cfg, mode)
+            self._assert_batch_matches_samples(ad, 4)
+            # host-only keys must not leak into the device batch (multi-host
+            # pytree mismatch when hosts differ in native availability)
+            rngs = [np.random.default_rng((0, 0, i)) for i in range(2)]
+            assert "_hw" not in ad.batch_host([0, 1], rngs)
 
     def test_tv_adapter(self, tmp_path):
         from mla_tpu.core.config import MLAConfig
