@@ -259,6 +259,15 @@ class MLAConfig:
         if self.pp_microbatches and not self.scan_blocks:
             raise ValueError("--pp_microbatches requires --scan_blocks "
                              "(the stacked block layout pp stages consume)")
+        if self.pp_microbatches < 0:
+            raise ValueError("--pp_microbatches must be >= 0")
+        if self.pp_microbatches and self.seq_parallel:
+            # sp.constrain's with_sharding_constraint cannot apply inside
+            # pp's fully-manual shard_map — it raises at trace time
+            raise ValueError("--seq_parallel is incompatible with "
+                             "--pp_microbatches (the pipeline schedule is a "
+                             "manual shard_map; use one or the other on the "
+                             "model axis)")
         return self
 
     def replace(self, **kw) -> "MLAConfig":

@@ -31,6 +31,11 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         mesh_shape = (len(devices), 1)
     if len(mesh_shape) == 1:
         mesh_shape = (mesh_shape[0], 1)
+    if any(int(m) < 1 for m in mesh_shape):
+        # numpy-reshape-style -1 would silently drop devices (devices[:-1])
+        # or build a 0-device mesh; sizes must be explicit
+        raise ValueError(f"mesh_shape entries must be >= 1, got "
+                         f"{tuple(mesh_shape)}")
     n = int(np.prod(mesh_shape))
     if n > len(devices):
         raise ValueError(f"mesh_shape {tuple(mesh_shape)} needs {n} devices, "
@@ -79,11 +84,17 @@ def replicate(mesh: Mesh, tree):
     can't target non-addressable devices directly."""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        return multihost_utils.host_local_array_to_global_array(
-            tree, mesh, P())
+
+        def promote(x):
+            # Re-placing a partially-restored state (eval-only restore swaps
+            # params for host-local arrays but leaves opt_state/batch_stats
+            # as the global arrays of the first placement) must pass the
+            # already-global leaves through — host_local_array_to_global_
+            # array rejects non-fully-addressable inputs.
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return multihost_utils.host_local_array_to_global_array(
+                x, mesh, P())
+        return jax.tree_util.tree_map(promote, tree)
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
-
-
-def pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m

@@ -140,7 +140,10 @@ def _pipeline_device(stage_params, x, mask, *, block, n_stages, n_micro,
     t + n_stages - 1. One activation hops per step via ppermute.
     """
     bl, n, c = x.shape
-    assert bl % n_micro == 0, (bl, n_micro)
+    if n_micro < 1 or bl % n_micro:
+        raise ValueError(
+            f"--pp_microbatches={n_micro} must be >= 1 and divide the "
+            f"per-data-slice batch {bl} (global batch / data-axis size)")
     mb = bl // n_micro
     x_mb = x.reshape(n_micro, mb, n, c)
     m_mb = mask.reshape(n_micro, mb, n)
@@ -208,13 +211,10 @@ def state_shardings(mesh: Mesh, state):
     """NamedSharding pytree for PP training: every leaf under a 'blocks'
     subtree (the stacked block params and their mirrored optimizer moments)
     is stage-sharded on dim 0 over 'model'; everything else replicates."""
+    from mla_tpu.parallel.tp import _path_names
+
     def spec(path, leaf):
-        names = []
-        for p in path:
-            if hasattr(p, "key"):
-                names.append(str(p.key))
-            elif hasattr(p, "name"):
-                names.append(str(p.name))
+        names = _path_names(path)
         if "blocks" in names and getattr(leaf, "ndim", 0) >= 1:
             return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
@@ -228,7 +228,9 @@ def shard_state_train(mesh: Mesh, state):
     from mla_tpu.parallel.mesh import replicate
     if jax.process_count() > 1:
         state = replicate(mesh, state)
-        return jax.jit(lambda s: s,
+        # donate: without it every device holds the full replicated tree AND
+        # its shard during the reshard (2x peak HBM at startup for 'huge')
+        return jax.jit(lambda s: s, donate_argnums=0,
                        out_shardings=state_shardings(mesh, state))(state)
     return jax.tree_util.tree_map(jax.device_put, state,
                                   state_shardings(mesh, state))

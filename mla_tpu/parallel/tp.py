@@ -103,7 +103,9 @@ def shard_state(mesh: Mesh, state):
         return replicate(mesh, state)
     if jax.process_count() > 1:
         state = replicate(mesh, state)
-        return jax.jit(lambda s: s,
+        # donate: without it every device holds the full replicated tree AND
+        # its shard during the reshard (2x peak HBM at startup for 'huge')
+        return jax.jit(lambda s: s, donate_argnums=0,
                        out_shardings=state_shardings(mesh, state))(state)
     shardings = state_shardings(mesh, state)
     return jax.tree_util.tree_map(jax.device_put, state, shardings)

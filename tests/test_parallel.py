@@ -29,6 +29,27 @@ class TestDataParallel:
         m = mesh_lib.make_mesh()
         assert m.shape["data"] == 8 and m.shape["model"] == 1
 
+    def test_mesh_shape_validation(self):
+        """Negative entries (numpy reshape-style -1) must error, not silently
+        drop devices / build a 0-device mesh (review finding)."""
+        import pytest
+        with pytest.raises(ValueError, match=">= 1"):
+            mesh_lib.make_mesh(mesh_shape=(-1, 1))
+        with pytest.raises(ValueError, match=">= 1"):
+            mesh_lib.make_mesh(mesh_shape=(8, -1))
+        with pytest.raises(ValueError, match="needs"):
+            mesh_lib.make_mesh(mesh_shape=(16, 1))
+
+    def test_sp_pp_combination_rejected(self):
+        """sp.constrain cannot apply inside pp's manual shard_map; the
+        config layer rejects the combination up front (review finding)."""
+        import pytest
+        from mla_tpu.core.config import MLAConfig
+        with pytest.raises(ValueError, match="seq_parallel is incompatible"):
+            MLAConfig(dataset="Food101", lorb="m3ae", scan_blocks=True,
+                      pp_microbatches=2, seq_parallel=True,
+                      mesh_shape=(2, 2)).validate()
+
     def test_sharded_step_matches_unsharded(self):
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         gs_rls=True, train=True).validate()
