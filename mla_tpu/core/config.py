@@ -230,6 +230,13 @@ class MLAConfig:
             raise ValueError(f"lorb must be one of {LORBS}")
         if self.optimizer not in OPTIMIZERS:
             raise ValueError(f"optimizer must be one of {OPTIMIZERS}")
+        if self.gs_flag and self.fusion_method == "sum":
+            # MLA's shared head needs the fc_out-style projection the
+            # concat families build; SumFusion (fc_x/fc_y) has no fc_out and
+            # would crash deep in train-state setup (state.py GS Pl sizing)
+            raise ValueError("--gs_flag requires a concat fusion head "
+                             "(fusion_method=concat); sum has no shared "
+                             "fc_out for the alternating updates")
         if self.fusion_method in ("gated", "film") and not self.gs_flag:
             # Defined but never constructed in the reference (basic_model.py:35-38).
             raise NotImplementedError(

@@ -168,27 +168,42 @@ def load_meta(path: str) -> Dict[str, Any]:
 
 
 def warm_start_params(path: str, params):
-    """Load params but drop the shared head, as the reference warm-start does
-    (main.py:721-728 deletes fusion_module.fc_out.*)."""
+    """Load params but drop only the shared head's output layer, exactly as
+    the reference warm-start does (main.py:721-728 deletes
+    fusion_module.fc_out.weight/.bias — other fusion params, e.g.
+    SumFusion's fc_x/fc_y, ARE loaded)."""
     raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     loaded = raw["params"]
     merged = jax.tree_util.tree_map(lambda x: x, params)
     for top, sub in loaded.items():
-        if top == "fusion_module":
+        if top not in merged:
             continue
-        if top in merged:
+        if top == "fusion_module":
+            sub = {k: v for k, v in sub.items() if k != "fc_out"}
+            merged[top] = {**merged[top],
+                           **jax.tree_util.tree_map(jnp.asarray, sub)}
+        else:
             merged[top] = jax.tree_util.tree_map(jnp.asarray, sub)
     return merged
 
 
 def wa_params(ckpt_dir: str):
-    """Average params over every checkpoint in a directory (main.py:682-694)."""
+    """Average weights over every checkpoint in a directory, INCLUDING the
+    BatchNorm running stats — the reference's wa_model averages the full
+    state_dict (main.py:682-694). Returns (params, batch_stats); batch_stats
+    is {} for BN-free models."""
     names = [n for n in sorted(os.listdir(ckpt_dir))
              if os.path.isdir(os.path.join(ckpt_dir, n))]
     assert names, f"no checkpoints in {ckpt_dir}"
     ckptr = ocp.PyTreeCheckpointer()
-    acc = None
+    acc_p = acc_s = None
     for n in names:
-        p = ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, n)))["params"]
-        acc = p if acc is None else jax.tree_util.tree_map(jnp.add, acc, p)
-    return jax.tree_util.tree_map(lambda x: x / float(len(names)), acc)
+        raw = ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, n)))
+        p, s = raw["params"], raw.get("batch_stats") or {}
+        acc_p = p if acc_p is None else \
+            jax.tree_util.tree_map(jnp.add, acc_p, p)
+        acc_s = s if acc_s is None else \
+            jax.tree_util.tree_map(jnp.add, acc_s, s)
+    k = float(len(names))
+    return (jax.tree_util.tree_map(lambda x: x / k, acc_p),
+            jax.tree_util.tree_map(lambda x: x / k, acc_s))

@@ -215,18 +215,34 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         msum = None  # device-side accumulation: no per-step host sync
         n_batches = 0
         profiling = cfg.profile_dir and epoch == 0
+        prof_started = False
         with jax.profiler.StepTraceAnnotation("train_epoch", epoch=epoch):
             for bi, batch in enumerate(train_loader.epoch(epoch)):
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
                 if profiling and bi == 2:
                     jax.profiler.start_trace(cfg.profile_dir)
+                    prof_started = True
                 state, metrics = train_step(state, batch, lr,
                                             jnp.int32(bi), jnp.int32(epoch))
                 if profiling and bi == 6:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                     profiling = False
+                ogm = {k: metrics.pop(k) for k in
+                       ("ratio_v", "coeff_a", "coeff_v", "coeff_t")
+                       if k in metrics}
+                if writer is not None and ogm:
+                    # per-iteration modulation scalars (main.py:339-344,
+                    # 386-390); each float() is a host sync — the cost the
+                    # reference pays too, opted into via --use_tensorboard
+                    it = epoch * len_dl + bi
+                    writer.add_scalar("data/ratio v",
+                                      float(ogm["ratio_v"]), it)
+                    for m in ("v", "a", "t"):
+                        if f"coeff_{m}" in ogm:
+                            writer.add_scalar(f"data/coefficient {m}",
+                                              float(ogm[f"coeff_{m}"]), it)
                 msum = metrics if msum is None else \
                     jax.tree_util.tree_map(jnp.add, msum, metrics)
                 n_batches += 1
@@ -234,6 +250,12 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"  step {bi + 1}/{len_dl} "
                           + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        if profiling and prof_started:
+            # epoch ended before the bi==6 stop point (short dataset /
+            # max_steps_per_epoch); a dangling active trace would crash the
+            # next start_trace in this process
+            jax.profiler.stop_trace()
+            profiling = False
         # epoch means, as train_epoch returns _loss/len(dataloader)
         # (main.py:482-484)
         epoch_metrics = {k: float(v) / max(n_batches, 1)
@@ -268,8 +290,14 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         else:
             print("Loss: {:.3f}, Acc: {:.3f}, Best Acc: {:.3f}".format(
                 epoch_metrics.get("loss", 0.0), acc, best_acc))
-        print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(
-            accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
+        if cfg.modal3:
+            # main.py:934-941 prints all three per-modality accuracies
+            print("Audio Acc: {:.3f}, Visual Acc: {:.3f}, Text Acc: {:.3f} "
+                  .format(accs.get("acc_a", 0.0), accs.get("acc_v", 0.0),
+                          accs.get("acc_t", 0.0)))
+        else:
+            print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(
+                accs.get("acc_a", 0.0), accs.get("acc_v", 0.0)))
         if cfg.save_last:
             # rolling restart point for --resume; async write overlaps the
             # next epoch like the best-ckpt save

@@ -138,8 +138,14 @@ def make_spec(cfg, params=None) -> OptimizerSpec:
         scales = None
         if params is not None:
             def scale_of(path):
-                # head at full lr, everything else lr/10 (main.py:739-746)
-                return 1.0 if path and path[0] == "fusion_module" else 0.1
+                # Full lr applies ONLY to fusion_module.fc_out.weight: the
+                # reference's mlp_list second entry carries a stray
+                # 'module.' prefix ('module.fusion_module.fc_out.bias',
+                # main.py:738) that never matches model.module.named_
+                # parameters(), so the bias — like everything else — trains
+                # at lr/10. Flax kernel == torch weight.
+                return 1.0 if tuple(path) == ("fusion_module", "fc_out",
+                                              "kernel") else 0.1
             scales = _label_tree(params, scale_of)
         return OptimizerSpec(kind="adam", weight_decay=5e-7, b1=0.95, b2=0.999,
                              lr_scales=scales)

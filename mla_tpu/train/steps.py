@@ -171,14 +171,31 @@ def _ogm_coeffs(out_m: Dict[str, jnp.ndarray], label, valid, alpha, modal3):
         cv = jnp.where(ratio_v > 1, damp(ratio_v), one)
         ct = jnp.where((ratio_v <= 1) & (ratio_t > 1), damp(ratio_t), one)
         ca = jnp.where((ratio_v <= 1) & (ratio_t <= 1), damp(ratio_a), one)
-        return {"a": ca, "v": cv, "t": ct}
+        return {"a": ca, "v": cv, "t": ct}, ratio_v
     ratio_v = s["v"] / s["a"]
     cv = jnp.where(ratio_v > 1, damp(ratio_v), one)
     ca = jnp.where(ratio_v > 1, one, damp(1.0 / ratio_v))
-    return {"a": ca, "v": cv}
+    return {"a": ca, "v": cv}, ratio_v
 
 
-def _modulate_grads(grads, coeffs, rng, use_ge: bool, active):
+def _ogm_grad_label(top: str, modal3: bool):
+    """Which coefficient (if any) scales params under this top-level module.
+
+    Name-substring parity with the reference: the 3-modal branch matches
+    'mae_a'/'mae_v'/'mae_t' (main.py:352-368), but the 2-modal branch only
+    matches 'audio'/'visual' (main.py:396-407) — so for lorb=m3ae/large
+    (modules named mae_*) 2-modal OGM modulates NOTHING in the reference,
+    and neither do we."""
+    if modal3:
+        return {"mae_a": "a", "mae_v": "v", "mae_t": "t"}.get(top)
+    if "audio" in top:
+        return "a"
+    if "visual" in top:
+        return "v"
+    return None
+
+
+def _modulate_grads(grads, coeffs, rng, use_ge: bool, active, modal3: bool):
     """Scale 4-D (conv) grads of each modality's encoder by its coefficient;
     OGM_GE adds N(0, grad.std()) noise (main.py:346-369,396-407). `active` is
     the traced modulation_starts <= epoch <= modulation_ends window."""
@@ -186,7 +203,8 @@ def _modulate_grads(grads, coeffs, rng, use_ge: bool, active):
     keys = jax.random.split(rng, len(flat))
     new_leaves = []
     for (path, g), kk in zip(flat, keys):
-        lbl = modality_of_path(tuple(optim._key_str(k) for k in path))
+        names = tuple(optim._key_str(k) for k in path)
+        lbl = _ogm_grad_label(names[0] if names else "", modal3)
         if lbl in coeffs and g.ndim == 4:
             c = coeffs[lbl]
             mod = g * c
@@ -226,15 +244,23 @@ def make_joint_train_step(model, cfg, spec: optim.OptimizerSpec):
             loss_fn, has_aux=True)(state.params)
 
         rng, sub = jax.random.split(state.rng)
+        ogm_scalars = {}
         if use_ogm:
-            coeffs = _ogm_coeffs(out_m, label, valid, cfg.alpha, cfg.modal3)
+            coeffs, ratio_v = _ogm_coeffs(out_m, label, valid, cfg.alpha,
+                                          cfg.modal3)
             active = (cfg.modulation_starts <= epoch) & \
                      (epoch <= cfg.modulation_ends)
-            grads = _modulate_grads(grads, coeffs, sub, use_ge, active)
+            grads = _modulate_grads(grads, coeffs, sub, use_ge, active,
+                                    cfg.modal3)
+            # per-iteration TB scalars 'data/ratio v' + 'data/coefficient *'
+            # (main.py:339-344, 386-390); the driver writes them only when
+            # --use_tensorboard is on (each write is a host sync)
+            ogm_scalars = {"ratio_v": ratio_v,
+                           **{f"coeff_{m}": c for m, c in coeffs.items()}}
 
         params, opt = optim.apply_updates(spec, state.params, grads,
                                           state.opt_state, lr)
-        metrics = {"loss": loss}
+        metrics = {"loss": loss, **ogm_scalars}
         for m, o in out_m.items():
             metrics[f"loss_{m}"] = masked_ce(o, label, valid)
         new_state = state.replace(params=params, batch_stats=new_bs,
@@ -262,7 +288,6 @@ def _rank_loss(conf, idx, correctness, valid, n_valid):
     nxt = jnp.where(pos + 1 >= n_valid, 0, pos + 1)
     idx2 = idx[nxt]
     c1, c2 = correctness[idx], correctness[idx2]
-    cmin = jnp.min(jnp.where(valid > 0, correctness[idx], jnp.inf))
     # reference normalizes by global min/max of the whole history array
     gmin, gmax = jnp.min(correctness[:-1]), jnp.max(correctness[:-1])
     rng = jnp.maximum(gmax - gmin, 1e-12)

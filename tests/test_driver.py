@@ -170,8 +170,9 @@ class TestCheckpointUtils:
                             gs=None, qmf=None, rng=jax.random.key(0),
                             step=jnp.int32(0))
             ckpt_lib.save_checkpoint(str(tmp_path), st, {}, f"c{i}")
-        avg = ckpt_lib.wa_params(str(tmp_path))
+        avg, avg_bs = ckpt_lib.wa_params(str(tmp_path))
         np.testing.assert_allclose(np.asarray(avg["w"]), 2.0)
+        assert avg_bs == {}
 
 
 class TestMetaReconstruction:

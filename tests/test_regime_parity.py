@@ -228,7 +228,7 @@ class TestOGMParity:
         out_v = rng.standard_normal((B, C)).astype(np.float32) + 1.0
         label = rng.integers(0, C, B)
         valid = jnp.ones((B,), jnp.float32)
-        coeffs = steps._ogm_coeffs(
+        coeffs, _ = steps._ogm_coeffs(
             {"a": jnp.asarray(out_a), "v": jnp.asarray(out_v)},
             jnp.asarray(label, jnp.int32), valid, alpha=0.3, modal3=False)
 
@@ -255,7 +255,7 @@ class TestOGMParity:
         out = {"a": big, "v": big + 0.0, "t": big}
         label = jnp.zeros((B,), jnp.int32)
         out["v"] = out["v"].at[:, 0].set(5.0)
-        coeffs = steps._ogm_coeffs(out, label, jnp.ones((B,)), 0.3, True)
+        coeffs, _ = steps._ogm_coeffs(out, label, jnp.ones((B,)), 0.3, True)
         assert float(coeffs["v"]) < 1.0
         assert float(coeffs["a"]) == 1.0 and float(coeffs["t"]) == 1.0
 
@@ -266,11 +266,53 @@ class TestOGMParity:
              "fusion_module": {"fc_out": {"kernel": jnp.ones((8, 4))}}}
         coeffs = {"a": jnp.float32(0.5), "v": jnp.float32(1.0)}
         out = steps._modulate_grads(g, coeffs, jax.random.key(0),
-                                    use_ge=False, active=jnp.bool_(True))
+                                    use_ge=False, active=jnp.bool_(True),
+                                    modal3=False)
         np.testing.assert_allclose(np.asarray(out["audio_net"]["conv"]), 0.5)
         np.testing.assert_allclose(np.asarray(out["audio_net"]["dense"]), 1.0)
         np.testing.assert_allclose(np.asarray(out["visual_net"]["conv"]), 1.0)
         # window inactive -> untouched
         out2 = steps._modulate_grads(g, coeffs, jax.random.key(0),
-                                     use_ge=False, active=jnp.bool_(False))
+                                     use_ge=False, active=jnp.bool_(False),
+                                     modal3=False)
         np.testing.assert_allclose(np.asarray(out2["audio_net"]["conv"]), 1.0)
+
+    def test_2modal_mae_modules_not_modulated(self):
+        """Reference 2-modal OGM matches only 'audio'/'visual' name
+        substrings (main.py:396-407), so lorb=m3ae/large encoders (mae_*)
+        are never modulated there — parity requires the same here."""
+        g = {"mae_a": {"conv": jnp.ones((3, 3, 2, 4))},
+             "mae_v": {"conv": jnp.ones((3, 3, 2, 4))}}
+        coeffs = {"a": jnp.float32(0.5), "v": jnp.float32(0.5)}
+        out = steps._modulate_grads(g, coeffs, jax.random.key(0),
+                                    use_ge=False, active=jnp.bool_(True),
+                                    modal3=False)
+        np.testing.assert_allclose(np.asarray(out["mae_a"]["conv"]), 1.0)
+        # 3-modal DOES modulate mae_* (main.py:352-368)
+        coeffs3 = {"a": jnp.float32(0.5), "v": jnp.float32(1.0),
+                   "t": jnp.float32(1.0)}
+        out3 = steps._modulate_grads(g, coeffs3, jax.random.key(0),
+                                     use_ge=False, active=jnp.bool_(True),
+                                     modal3=True)
+        np.testing.assert_allclose(np.asarray(out3["mae_a"]["conv"]), 0.5)
+
+
+class TestCavOptiLrGroups:
+    def test_full_lr_only_on_fc_out_weight(self):
+        """Reference mlp_list quirk (main.py:738): the bias entry carries a
+        stray 'module.' prefix and never matches, so ONLY
+        fusion_module.fc_out.weight trains at full lr; the bias — like the
+        encoders — gets lr/10."""
+        from mla_tpu.core.config import MLAConfig
+        from mla_tpu.train import optim
+
+        cfg = MLAConfig(dataset="CREMAD", lorb="large", cav_opti=True,
+                        train=True).validate()
+        params = {"fusion_module": {"fc_out": {"kernel": jnp.ones((4, 2)),
+                                               "bias": jnp.ones((2,))}},
+                  "mae_a": {"conv": jnp.ones((3, 3))}}
+        spec = optim.make_spec(cfg, params)
+        sc = spec.lr_scales
+        assert sc["fusion_module"]["fc_out"]["kernel"] == 1.0
+        assert sc["fusion_module"]["fc_out"]["bias"] == 0.1
+        assert sc["mae_a"]["conv"] == 0.1
