@@ -230,6 +230,13 @@ class MLAConfig:
             raise ValueError(f"lorb must be one of {LORBS}")
         if self.optimizer not in OPTIMIZERS:
             raise ValueError(f"optimizer must be one of {OPTIMIZERS}")
+        if self.clip and self.modulation == "QMF" and not self.gs_flag:
+            # the reference crashes here (3-tuple unpack, main.py:594 —
+            # CLIPClassifier has no QMF heads); reject instead of silently
+            # training 512-d features as logits
+            raise ValueError("--clip has no QMF heads (the reference "
+                             "crashes on this combination); use Normal/OGM "
+                             "modulation or --gs_flag with clip")
         if self.gs_flag and self.fusion_method == "sum":
             # MLA's shared head needs the fc_out-style projection the
             # concat families build; SumFusion (fc_x/fc_y) has no fc_out and

@@ -46,7 +46,9 @@ def eval_logits(model, cfg, params, batch_stats, batch, valid):
     if cfg.gs_flag:
         out_m = {m: out[f"out_{m}"] for m in modalities}
         fused = fuse_outputs(out_m, valid, cfg)
-    elif cfg.modulation == "QMF":
+    elif cfg.modulation == "QMF" and cfg.lorb != "large":
+        # lorb=large has no QMF heads and the reference's branch order makes
+        # QMF inert for it (main.py:166-170) — fall through to the joint eval
         out_m = {m: out[m] for m in modalities}
         fused = sum(out_m[m] * _energy_conf(out_m[m])[:, None]
                     for m in modalities)

@@ -40,21 +40,30 @@ Dtype = Any
 
 
 def _make_fusion(fusion_method: str, gs_flag: bool, n_classes: int,
-                 n_modalities: int, dtype):
-    """fusion_module per basic_model.py:28-40 composition rules."""
+                 n_modalities: int, dtype, torch_default: bool = False):
+    """fusion_module per basic_model.py:28-40 composition rules.
+
+    torch_default: use torch nn.Linear's default init — the reference
+    applies xavier weight_init only to the non-clip AVClassifier
+    (main.py:717-719); every other family keeps torch defaults."""
+    kw = dict(dtype=dtype, torch_default=torch_default, name="fusion_module")
     if fusion_method == "sum":
-        return fusion_lib.SumFusion(n_classes, dtype=dtype, name="fusion_module")
+        return fusion_lib.SumFusion(n_classes, **kw)
     if fusion_method != "concat":
         raise NotImplementedError(
             f"fusion {fusion_method} declared but never constructed in the reference")
     if gs_flag:
-        return fusion_lib.SharedHead(n_classes, dtype=dtype, name="fusion_module")
+        return fusion_lib.SharedHead(n_classes, **kw)
     if n_modalities == 3:
-        return fusion_lib.ConcatFusion3(n_classes, dtype=dtype, name="fusion_module")
-    return fusion_lib.ConcatFusion(n_classes, dtype=dtype, name="fusion_module")
+        return fusion_lib.ConcatFusion3(n_classes, **kw)
+    return fusion_lib.ConcatFusion(n_classes, **kw)
 
 
-def _qmf_head(n_classes, dtype, name):
+def _qmf_head(n_classes, dtype, name, torch_default=False, fan_in=None):
+    if torch_default:
+        return nn.Dense(n_classes, kernel_init=fusion_lib.TORCH_KERNEL_INIT,
+                        bias_init=fusion_lib.torch_bias_init(fan_in),
+                        dtype=dtype, name=name)
     return nn.Dense(n_classes, kernel_init=xavier_normal,
                     bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
@@ -154,7 +163,8 @@ class CAVClassifier(nn.Module, _FusionMixin):
                               audio_length=self.audio_length, dtype=self.dtype,
                               name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
-                                          self.n_classes, 2, self.dtype)
+                                          self.n_classes, 2, self.dtype,
+                                          torch_default=True)
 
     def encode(self, batch, modality: str, train: bool = True):
         if modality == "a":
@@ -201,10 +211,14 @@ class M3AEClassifier(nn.Module, _FusionMixin):
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
-                                          self.n_classes, 2, self.dtype)
+                                          self.n_classes, 2, self.dtype,
+                                          torch_default=True)
         if self.qmf:
-            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc")
-            self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
+            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc",
+                                      torch_default=True, fan_in=cfg.emb_dim)
+            self.visual_fc = _qmf_head(self.n_classes, self.dtype,
+                                       "visual_fc", torch_default=True,
+                                       fan_in=cfg.emb_dim)
 
     def encode(self, batch, modality: str, train: bool = True):
         if modality == "a":
@@ -253,11 +267,17 @@ class Modal3Classifier(nn.Module, _FusionMixin):
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.mae_t = M3AEEncoder(cfg, dtype=self.dtype, name="mae_t")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
-                                          self.n_classes, 3, self.dtype)
+                                          self.n_classes, 3, self.dtype,
+                                          torch_default=True)
         if self.qmf:
-            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc")
-            self.visual_fc = _qmf_head(self.n_classes, self.dtype, "visual_fc")
-            self.txtual_fc = _qmf_head(self.n_classes, self.dtype, "txtual_fc")
+            self.audio_fc = _qmf_head(self.n_classes, self.dtype, "audio_fc",
+                                      torch_default=True, fan_in=768)
+            self.visual_fc = _qmf_head(self.n_classes, self.dtype,
+                                       "visual_fc", torch_default=True,
+                                       fan_in=cfg.emb_dim)
+            self.txtual_fc = _qmf_head(self.n_classes, self.dtype,
+                                       "txtual_fc", torch_default=True,
+                                       fan_in=cfg.emb_dim)
 
     def encode(self, batch, modality: str, train: bool = True):
         if modality == "a":
@@ -297,7 +317,8 @@ class CLIPClassifier(nn.Module, _FusionMixin):
 
     def setup(self):
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
-                                          self.n_classes, 2, self.dtype)
+                                          self.n_classes, 2, self.dtype,
+                                          torch_default=True)
 
     def encode(self, batch, modality: str, train: bool = True):
         if modality == "a":
@@ -321,7 +342,10 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
     """Model-select mirroring main.py:706-718."""
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
     kw = dict(n_classes=cfg.n_classes, fusion_method=cfg.fusion_method,
-              gs_flag=cfg.gs_flag, qmf=cfg.modulation == "QMF", dtype=dtype)
+              gs_flag=cfg.gs_flag,
+              # gs takes precedence: the reference's gs branch never touches
+              # the QMF heads at train or eval (main.py:419-485, 617-639)
+              qmf=cfg.modulation == "QMF" and not cfg.gs_flag, dtype=dtype)
     if cfg.lorb == "large":
         kw.pop("qmf")
         return CAVClassifier(img_size=cfg.image_size or 224, **kw)
@@ -337,11 +361,6 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         return CLIPClassifier(**kw)
     return AVClassifier(masked_bn=cfg.masked_bn,
                         stages=tuple(cfg.resnet_stages), **kw)
-
-
-MODALITIES = {"AVClassifier": ("a", "v"), "CAVClassifier": ("a", "v"),
-              "M3AEClassifier": ("a", "v"), "CLIPClassifier": ("a", "v"),
-              "Modal3Classifier": ("a", "v", "t")}
 
 
 def modalities_of(cfg: MLAConfig):

@@ -239,11 +239,17 @@ def load_pretrained_encoders(cfg, params: Dict) -> Dict:
             imported = to_scan_layout(imported)
 
         def merge(dst, src, where=net):
+            # strict=False semantics (basic_model.py:113-117): keys the model
+            # does not have (e.g. a finetuned ckpt's mlp_head when the
+            # encoder is built with_head=False) are DROPPED, never inserted —
+            # inserting them would desync params from the opt_state pytree
             dst = dict(dst)
             for k, v in src.items():
-                if isinstance(v, dict):
-                    dst[k] = merge(dst.get(k, {}), v, f"{where}.{k}")
-                elif k in dst and tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                if k not in dst:
+                    print(f"  skip {where}.{k}: not in the model")
+                elif isinstance(v, dict):
+                    dst[k] = merge(dst[k], v, f"{where}.{k}")
+                elif tuple(np.shape(dst[k])) != tuple(np.shape(v)):
                     print(f"  skip {where}.{k}: shape "
                           f"{np.shape(v)} != {np.shape(dst[k])}")
                 else:

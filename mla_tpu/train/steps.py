@@ -364,5 +364,12 @@ def make_train_step(model, cfg, spec, len_dl):
     if cfg.gs_flag:
         return make_mla_train_step(model, cfg, spec, len_dl)
     if cfg.modulation == "QMF":
+        if cfg.lorb == "large":
+            # reference branch order: `if lorb == "large"` precedes the QMF
+            # check (main.py:166-170), so CAV runs the joint path no matter
+            # the modulation flag — CAVClassifier has no QMF heads
+            print("NOTE: --modulation QMF is inert for --lorb large "
+                  "(reference main.py:166-170 runs the joint path)")
+            return make_joint_train_step(model, cfg, spec)
         return make_qmf_train_step(model, cfg, spec)
     return make_joint_train_step(model, cfg, spec)

@@ -171,6 +171,52 @@ class TestClassifiers:
                           classifiers.Modal3Classifier)
 
 
+class TestInitParity:
+    def test_head_init_distributions(self):
+        """Reference applies xavier weight_init only to the non-clip
+        AVClassifier (main.py:717-719); other families keep torch Linear
+        defaults: weight AND bias ~ U(+-1/sqrt(fan_in))."""
+        from mla_tpu.models.classifiers import CLIPClassifier
+
+        av = classifiers.AVClassifier(n_classes=6, stages=(1, 1, 1, 1))
+        v = av.init(jax.random.key(0), {
+            "spec": jnp.zeros((2, 1, 64, 80)),
+            "image": jnp.zeros((2, 3, 3, 32, 32))}, train=False)
+        fc = v["params"]["fusion_module"]["fc_out"]
+        np.testing.assert_allclose(np.asarray(fc["bias"]), 0.0)  # weight_init
+
+        clip = CLIPClassifier(n_classes=101)
+        vc = clip.init(jax.random.key(0), {
+            "token_feat": jnp.zeros((2, 512)),
+            "image_feat": jnp.zeros((2, 512))}, train=False)
+        fc = vc["params"]["fusion_module"]["fc_out"]
+        bound = 1.0 / np.sqrt(1024)          # concat fan_in = 512 + 512
+        k = np.asarray(fc["kernel"])
+        b = np.asarray(fc["bias"])
+        assert np.abs(k).max() <= bound + 1e-6
+        assert np.abs(b).max() <= bound + 1e-6
+        assert np.abs(b).max() > 0.0         # NOT zero-init
+        # uniform over +-bound has std bound/sqrt(3)
+        np.testing.assert_allclose(k.std(), bound / np.sqrt(3), rtol=0.05)
+
+    def test_gs_takes_precedence_over_qmf(self):
+        """gs_flag + QMF: the reference's gs branch never touches QMF heads
+        (main.py:419-485); the model must expose the gs outputs so the eval
+        path (eval_logits gs branch) works."""
+        from mla_tpu.core.config import MLAConfig
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        modulation="QMF", resnet_stages=(1, 1, 1, 1),
+                        image_size=32).validate()
+        m = classifiers.build_classifier(cfg)
+        assert m.qmf is False and m.gs_flag is True
+
+    def test_clip_qmf_rejected(self):
+        from mla_tpu.core.config import MLAConfig
+        with pytest.raises(ValueError, match="QMF heads"):
+            MLAConfig(dataset="Food101", clip=True,
+                      modulation="QMF").validate()
+
+
 class TestExtraFusionHeads:
     """FiLM / GatedFusion defined-but-unconstructed heads (fusion_modules.py:38-99)."""
 

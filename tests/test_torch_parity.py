@@ -332,3 +332,7 @@ class TestPretrainedEncoderLoad:
             np.asarray(params["mae_v"]["image_kernel"]))
         # vocab-size mismatch (1000 vs 30522) is skipped, not crashed on
         assert np.asarray(new["mae_a"]["text_embedding"]).shape[0] == 30522
+        # strict=False semantics: checkpoint-only keys must be DROPPED, not
+        # inserted — an enlarged tree desyncs params from opt_state
+        assert jax.tree_util.tree_structure(new) == \
+            jax.tree_util.tree_structure(params)
