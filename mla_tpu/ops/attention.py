@@ -295,10 +295,14 @@ def flash_attention_bwd(q, k, v, do, padding_mask, scale=None,
 # for the qkv GEMM backward.
 
 def _flat_head_chunk(h: int, sp: int, d: int, n_live: int,
-                     n_bufs: int) -> int:
+                     n_bufs: int, itemsize: int = 2) -> int:
     """Largest divisor of H for the flat kernels. Scores are per-head
     (looped) so they bound feasibility, not gh; gh is bounded by the
-    (n_bufs x sp x gh*d) VMEM-resident operand blocks."""
+    (n_bufs x sp x gh*d) VMEM-resident operand blocks.
+
+    itemsize: bytes per operand element (2 for the bf16 default; fp32
+    compute, --compute_dtype float32, doubles the operand footprint —
+    under-accounting it reintroduces the scoped-VMEM OOM class below)."""
     scores = sp * sp * 4 * n_live
     if scores > _SCORE_VMEM_BUDGET:
         return 0                      # even one head's scores don't fit
@@ -308,7 +312,8 @@ def _flat_head_chunk(h: int, sp: int, d: int, n_live: int,
         # measured: the old 1x accounting OOM'd scoped vmem (18 MB > 16) on
         # the CAV-MAE S=512 backward at gh=12
         if h % gh == 0 and \
-                scores + 2 * n_bufs * sp * gh * d * 2 <= 2 * _SCORE_VMEM_BUDGET:
+                scores + 2 * n_bufs * sp * gh * d * itemsize \
+                <= 2 * _SCORE_VMEM_BUDGET:
             return gh
         gh -= 1
     return 0
@@ -356,7 +361,8 @@ def flash_attention_flat(qkv, padding_mask, num_heads: int, scale=None,
         mp = mp.at[:, s:].set(1.0)
     mp = mp[:, None, :]
 
-    gh = _flat_head_chunk(num_heads, sp8, d, n_live=2, n_bufs=4)
+    gh = _flat_head_chunk(num_heads, sp8, d, n_live=2, n_bufs=4,
+                          itemsize=qkv.dtype.itemsize)
     assert gh, "flat kernel caller must check flat_attention_fits()"
     nh = num_heads // gh
     ghd = gh * d
@@ -430,7 +436,8 @@ def flash_attention_flat_bwd(qkv, do, padding_mask, num_heads: int,
         mp = mp.at[:, s:].set(1.0)
     mp = mp[:, None, :]
 
-    gh = _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7)
+    gh = _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7,
+                          itemsize=qkv.dtype.itemsize)
     assert gh, "flat bwd caller must check flat_attention_fits()"
     nh = num_heads // gh
     ghd = gh * d
@@ -454,9 +461,11 @@ def flash_attention_flat_bwd(qkv, do, padding_mask, num_heads: int,
     return dq[:, :s, :], dk[:, :s, :], dv[:, :s, :]
 
 
-def flat_attention_fits(num_heads: int, s: int, d: int) -> bool:
+def flat_attention_fits(num_heads: int, s: int, d: int,
+                        itemsize: int = 2) -> bool:
     sp8 = s + (-s) % 8
-    return _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7) > 0
+    return _flat_head_chunk(num_heads, sp8, d, n_live=4, n_bufs=7,
+                            itemsize=itemsize) > 0
 
 
 # Trace-time switch: the flat kernels have no custom_partitioning rules, so
@@ -500,7 +509,7 @@ def fused_attention_qkv(qkv, padding_mask, num_heads: int):
     c = c3 // 3
     d = c // num_heads
     if (jax.default_backend() == "tpu" and _FLAT_ENABLED
-            and flat_attention_fits(num_heads, s, d)):
+            and flat_attention_fits(num_heads, s, d, qkv.dtype.itemsize)):
         if padding_mask is None:
             padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
         return _flat_mha(qkv, padding_mask, num_heads)

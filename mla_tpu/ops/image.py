@@ -111,24 +111,16 @@ def crop_resize_normalize(images_u8: jnp.ndarray,
 
     images_u8: (B, H, W, C) uint8;  boxes: (B, 4) float32 (i, j, h, w);
     flip: (B,) bool. Returns (B, C, oh, ow) if to_chw else (B, oh, ow, C).
+
+    NOTE: the production datasets go through the richer
+    data/transforms.py:image_batch_transform (adds color jitter and the
+    dtype plumbing); this is the minimal standalone API. The clip matches
+    that path — PIL clamps resampling overshoot to uint8 range.
     """
     x = images_u8.astype(jnp.float32) / 255.0
     out = jax.vmap(lambda im, b: _crop_resize_one(im, b, out_hw, method))(x, boxes)
+    out = jnp.clip(out, 0.0, 1.0)
     out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
-    out = (out - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
-    if to_chw:
-        out = jnp.transpose(out, (0, 3, 1, 2))
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("size", "method", "to_chw"))
-def resize_normalize(images_u8: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray,
-                     size: Tuple[int, int] = (224, 224), method: str = "linear",
-                     to_chw: bool = True) -> jnp.ndarray:
-    """Eval-path Resize((s, s)) + Normalize (dataset.py:136-140)."""
-    x = images_u8.astype(jnp.float32) / 255.0
-    b, _, _, c = x.shape
-    out = jax.image.resize(x, (b, size[0], size[1], c), method=method, antialias=True)
     out = (out - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
     if to_chw:
         out = jnp.transpose(out, (0, 3, 1, 2))

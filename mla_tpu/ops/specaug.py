@@ -15,12 +15,20 @@ import jax.numpy as jnp
 
 
 def _axis_mask(key, size: int, max_width: int):
-    """torchaudio-style mask: width ~ U[0, max_width), start ~ U[0, size-width]."""
+    """torchaudio-0.8.1 mask_along_axis law: value ~ U[0, max_width),
+    min ~ U[0, size - value), then BOTH are truncated to integers —
+    mask = [int(min), int(min) + int(value)). The truncation matters:
+    width 0 occurs with probability 1/max_width, the mean width is
+    (max_width-1)/2, and starts are integer-aligned; a continuous mask
+    has a different augmentation law."""
     kw, ks = jax.random.split(key)
-    width = jax.random.uniform(kw, (), minval=0.0, maxval=float(max_width))
-    start = jax.random.uniform(ks, (), minval=0.0, maxval=float(size) - width)
+    value = jax.random.uniform(kw, (), minval=0.0, maxval=float(max_width))
+    mn = jax.random.uniform(ks, (), minval=0.0,
+                            maxval=float(size) - value)
+    start = jnp.floor(mn)
+    end = start + jnp.floor(value)
     idx = jnp.arange(size, dtype=jnp.float32)
-    return (idx >= start) & (idx < start + width)  # True where masked
+    return (idx >= start) & (idx < end)  # True where masked
 
 
 def specaug_single(key, fbank: jnp.ndarray, freqm: int = 48, timem: int = 192):

@@ -3,13 +3,15 @@
 The reference computes spectrograms offline with librosa
 (reference: data/extract_spec.py:21-22 — ``librosa.stft(x, n_fft=256,
 hop_length=128)`` then ``log(|S| + 1e-7)``). Here the same transform runs
-on-device: center reflect-padding, periodic Hann window, rfft. Framing is
+on-device: center ZERO-padding, periodic Hann window, rfft. Framing is
 expressed as a gather + batched matmul against the DFT basis is left to XLA's
 rfft; the whole pipeline fuses into the input pipeline under jit.
 
 librosa defaults replicated: win_length = n_fft, window='hann' (periodic),
-center=True, pad_mode='reflect' (matches torch.stft with the same args, which
-the golden test uses).
+center=True, pad_mode='constant' — the PINNED librosa==0.10.0.post2
+(reference requirements.txt) changed the default from 'reflect' to zero
+padding in 0.10, so the boundary frames are computed from zeros (the golden
+test uses torch.stft(pad_mode='constant') accordingly).
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ def log_stft(x: jnp.ndarray, n_fft: int = 256, hop_length: int = 128) -> jnp.nda
     x = x.astype(jnp.float32)
     pad = n_fft // 2
     pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
-    x = jnp.pad(x, pad_widths, mode="reflect")
+    x = jnp.pad(x, pad_widths)   # zeros — librosa>=0.10 default pad_mode
     frames = frame_signal(x, n_fft, hop_length)
     window = jnp.asarray(_hann_periodic(n_fft), dtype=jnp.float32)
     spec = jnp.fft.rfft(frames * window, axis=-1)  # (..., n_frames, n_fft//2+1)

@@ -12,14 +12,17 @@ from mla_tpu.ops import attention, fbank, image, pos_embed, specaug, stft
 
 class TestStft:
     def test_matches_torch_stft(self):
-        # torch.stft(center=True, pad_mode='reflect', hann periodic) == librosa.stft
+        # torch.stft(center=True, pad_mode='constant', hann periodic) ==
+        # librosa.stft under the PINNED librosa==0.10.0.post2 (its default
+        # pad_mode changed from 'reflect' to zero padding in 0.10)
         torch = pytest.importorskip("torch")
         rng = np.random.default_rng(0)
         x = rng.standard_normal(16000 * 5).astype(np.float32)
         ours = np.asarray(stft.log_stft(jnp.asarray(x)))
         ref = torch.stft(torch.from_numpy(x), n_fft=256, hop_length=128,
                          window=torch.hann_window(256, periodic=True),
-                         center=True, pad_mode="reflect", return_complex=True)
+                         center=True, pad_mode="constant",
+                         return_complex=True)
         ref = np.log(np.abs(ref.numpy()) + 1e-7)
         assert ours.shape == (129, 626)
         # log-domain comparison: tiny magnitudes amplify fp32 fft differences
@@ -298,3 +301,11 @@ class TestFlatAttention:
         assert attention._flat_head_chunk(12, 264, 64, 4, 7) == 12
         assert attention.flat_attention_fits(12, 257, 64)
         assert not attention.flat_attention_fits(12, 4096, 64)
+        # fp32 operands double the block footprint: the gh the bf16
+        # accounting picks must shrink (or vanish) under itemsize=4 —
+        # under-accounting here reproduced a Mosaic scoped-VMEM OOM
+        gh16 = attention._flat_head_chunk(16, 520, 64, n_live=4, n_bufs=7,
+                                          itemsize=2)
+        gh32 = attention._flat_head_chunk(16, 520, 64, n_live=4, n_bufs=7,
+                                          itemsize=4)
+        assert gh32 < gh16
