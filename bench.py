@@ -23,7 +23,7 @@ import numpy as np
 
 
 BATCH = 64
-SPEC_HW = (257, 626)
+SPEC_HW = (129, 626)  # n_fft=256 -> 129 bins (extract_spec.py:21)
 IMG = 224
 N_FRAMES = 3
 

@@ -150,7 +150,7 @@ def main():
     else:
         # the CREMA-D headline config (ResNet-18 x2, MLA + dynamic fusion)
         batch = {
-            "spec": jnp.asarray(rng.standard_normal((B, 1, 257, 626)),
+            "spec": jnp.asarray(rng.standard_normal((B, 1, 129, 626)),
                                 jnp.float32),
             "image": jnp.asarray(
                 rng.standard_normal((B, 3, 3, 224, 224)), jnp.float32),

@@ -75,7 +75,7 @@ def main():
     results = []
 
     def av_batch():
-        return {"spec": jnp.asarray(rng.standard_normal((B, 1, 257, 626)),
+        return {"spec": jnp.asarray(rng.standard_normal((B, 1, 129, 626)),
                                     jnp.float32),
                 "image": jnp.asarray(
                     rng.standard_normal((B, 3, 3, 224, 224)), jnp.float32),

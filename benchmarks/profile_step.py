@@ -28,7 +28,7 @@ from mla_tpu.train import optim, steps as steps_lib  # noqa: E402
 from mla_tpu.train.state import create_train_state  # noqa: E402
 
 BATCH = 64
-SPEC_HW = (257, 626)
+SPEC_HW = (129, 626)
 IMG = 224
 N_FRAMES = 3
 

@@ -29,7 +29,11 @@ class DatasetPaths:
 
 LAYOUTS: Dict[str, DatasetPaths] = {
     # CREMA-D AV (dataset.py:48-55): .flv sep; spectrogram .npy per clip +
-    # frame dirs
+    # frame dirs. Reference-faithful hazard (dataset.py:44,188): the SAME
+    # audio dir serves the base path's log-STFT spectrograms AND the large
+    # path's 1024x128 fbanks; adapters probe shapes from disk, so a tree
+    # preprocessed for the other path trains on wrong features with no
+    # error — keep spec and fbank trees in separate data_roots.
     "CREMAD": DatasetPaths("CREMAD", "cre", ".flv ",
                            audio_dir="audio/{mode}_fbank",
                            visual_dir="visual/{mode}_imgs/Image-01-FPS"),

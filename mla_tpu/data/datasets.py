@@ -62,7 +62,9 @@ class AVAdapter:
     Sample: log-STFT spectrogram .npy + 3 evenly-spaced frames; train-time
     RandomResizedCrop(224)+HFlip per frame, eval Resize((224,224)); QMF
     modality masking on a datalist suffix."""
-    spec_shape = (257, 626)   # shaped from the on-disk artifact at first load
+    spec_shape = (129, 626)   # n_fft=256 -> 129 bins (extract_spec.py:21;
+                              # SURVEY.md's '257x626' was an arithmetic slip);
+                              # shaped from the on-disk artifact at first load
     out = 224
 
     def __init__(self, cfg: MLAConfig, mode: str):

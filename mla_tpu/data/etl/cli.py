@@ -62,6 +62,11 @@ def cmd_extract_spec(args):
         if not f.endswith(".wav"):
             continue
         rate, sample = _wavread(join(args.in_dir, f))
+        if len(sample) == 0:
+            # e.g. ffmpeg output for a video with no audio stream; tiling an
+            # empty array never reaches 10 s — the loop would hang forever
+            print(f"skip {f}: empty waveform")
+            continue
         while len(sample) / rate < 10.0:
             sample = np.tile(sample, 2)
         start = rng.randint(0, rate * 5)
@@ -81,7 +86,10 @@ def cmd_extract_fbank(args):
             fb = np.asarray(wav2fbank(wave, target_length=args.target_length))
         except Exception as e:   # extract_fbank.py:38-40 fallback
             print(f"there is a loading error ({f}: {e})")
-            fb = np.zeros((512, 128), np.float32) + 0.01
+            # fallback matches --target_length: a fixed 512 would poison the
+            # cache with one shape-inconsistent artifact (the native batch
+            # loader reads every file at the probed shape)
+            fb = np.zeros((args.target_length, 128), np.float32) + 0.01
         np.save(join(args.out_dir, f.replace(".wav", ".npy")), fb)
 
 
@@ -137,21 +145,34 @@ def cmd_extract_token(args):
 
 
 def cmd_gen_stat(args):
-    labels = set()
+    per_list = []
     for lst in args.lists:
+        labels = set()
         with open(lst) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     labels.add(line.split(args.sep)[-1])
+        per_list.append(labels)
+    # gen_stat.py:20-25: every split must carry the SAME label set — a
+    # typo'd label in one list would otherwise silently change n_classes
+    # and shift every sorted class index
+    for i, labels in enumerate(per_list[1:], 1):
+        if labels != per_list[0]:
+            diff = labels ^ per_list[0]
+            raise SystemExit(
+                f"label sets differ between {args.lists[0]} and "
+                f"{args.lists[i]}: {sorted(diff)}")
     with open(args.out, "w") as f:
-        f.write("\n".join(sorted(labels)) + "\n")
+        f.write("\n".join(sorted(per_list[0])) + "\n")
 
 
 def cmd_gen_txt(args):
     rng = random.Random(args.seed)
     with open(args.all_list) as f:
-        lines = [ln for ln in f if ln.strip()]
+        # normalize: a final line without a trailing newline would merge
+        # with its successor after the shuffle
+        lines = [ln.rstrip("\n") + "\n" for ln in f if ln.strip()]
     rng.shuffle(lines)
     n_test = int(len(lines) * args.test_frac)
     with open(args.out_prefix + "_test.txt", "w") as f:

@@ -40,7 +40,7 @@ def _write_lists(root, tag, names_labels):
 
 
 def make_cremad(root: str, n_train=8, n_test=4, seed=0,
-                spec_shape=(257, 626), fbank=False, learnable=False):
+                spec_shape=(129, 626), fbank=False, learnable=False):
     """CREMA-D tree for AVAdapter (spectrograms) or CAVAdapter (fbank=True).
 
     learnable=True injects a class-dependent pattern into both modalities

@@ -39,17 +39,32 @@ def _load():
     return lib
 
 
+# The C library holds ONE global vocab; track whose it is (path -> size) so
+# two tokenizer instances with different vocabs don't silently read each
+# other's tables — encode() reloads when another instance swapped vocabs.
+_loaded_vocab = (None, 0)  # (abspath, size)
+
+
 class WordPieceTokenizer:
     def __init__(self, vocab_path: str):
         self._lib = _load()
-        n = self._lib.wp_load_vocab(vocab_path.encode())
-        if n <= 0:
-            raise FileNotFoundError(f"cannot load vocab {vocab_path}")
-        self.vocab_size = n
+        self._vocab_path = os.path.abspath(vocab_path)
+        self.vocab_size = self._ensure_vocab()
+
+    def _ensure_vocab(self) -> int:
+        global _loaded_vocab
+        if _loaded_vocab[0] != self._vocab_path:
+            n = self._lib.wp_load_vocab(self._vocab_path.encode())
+            if n <= 0:
+                raise FileNotFoundError(
+                    f"cannot load vocab {self._vocab_path}")
+            _loaded_vocab = (self._vocab_path, n)
+        return _loaded_vocab[1]
 
     def encode(self, text: str, max_length: int = 256
                ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (ids (1, L) int64, pm (1, L) float32) like extract_token.py."""
+        self._ensure_vocab()   # reload if another instance swapped vocabs
         ids = np.zeros((max_length,), np.int32)
         pm = np.zeros((max_length,), np.float32)
         n = self._lib.wp_encode(text.encode(), ids.ctypes.data_as(ctypes.c_void_p),

@@ -90,6 +90,11 @@ class M3AEEncoder(nn.Module):
 
     def setup(self):
         c = self.config
+        if c.remat_blocks and not c.scan_blocks:
+            # CLI configs validate this; direct M3AEConfig users must not
+            # silently lose the advertised memory lever
+            raise ValueError("remat_blocks requires scan_blocks (the remat "
+                             "wrapper lives on the scanned cell)")
         # Embedding params declared eagerly (fixed shapes) so a single instance
         # supports text-only, image-only and joint calls with one param tree.
         self.text_embedding_table = self.param(

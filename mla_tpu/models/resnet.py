@@ -36,7 +36,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, valid=None):
         # static dispatch: plain flax BN (single-pass stats) unless a padding
-        # mask is present; both share param/stat names so the trees match
+        # mask is present; both share param/stat names so the trees match.
+        # Known deviation: flax updates running_var with the BIASED batch
+        # variance while torch uses the unbiased estimator — a (n-1)/n
+        # factor with n = B*H*W (~2e5 for CREMA-D stem), i.e. <1e-5
+        # relative; MaskedBatchNorm (norm.py:63) applies the exact torch
+        # correction for parity-critical runs (--masked_bn)
         if valid is None:
             bn = lambda name: (lambda y, _v: nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -108,7 +108,14 @@ std::vector<std::string> BasicTokenize(const std::string& text) {
   };
   while (i < text.size()) {
     uint32_t cp = Normalize(NextCp(text, &i));
-    if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') {
+    // HF BasicTokenizer treats every Unicode Zs as whitespace: NBSP,
+    // en/em-family spaces (U+2000-U+200A), narrow NBSP, math space,
+    // ideographic space. Without these, NBSP glues words together and the
+    // U+2000 block falls into the punct range as standalone [UNK]s.
+    bool zs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+              cp == 0x00A0 || (cp >= 0x2000 && cp <= 0x200A) ||
+              cp == 0x202F || cp == 0x205F || cp == 0x3000 || cp == 0x1680;
+    if (zs) {
       flush();
     } else if (IsPunct(cp) || IsCJK(cp)) {
       flush();

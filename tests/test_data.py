@@ -16,7 +16,7 @@ from mla_tpu.data.pipeline import Loader, collate_pad
 @pytest.fixture(scope="module")
 def cremad_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("cremad"))
-    synthetic.make_cremad(root, n_train=6, n_test=3, spec_shape=(257, 626))
+    synthetic.make_cremad(root, n_train=6, n_test=3, spec_shape=(129, 626))
     return root
 
 
@@ -44,7 +44,7 @@ class TestAVAdapter:
         batches = list(loader.epoch(0))
         assert len(batches) == 2
         b = batches[0]
-        assert b["spec"].shape == (4, 1, 257, 626)
+        assert b["spec"].shape == (4, 1, 129, 626)
         assert b["image"].shape == (4, 3, 3, 64, 64)
         assert b["label"].shape == (4,)
         # second (partial) batch is padded with valid mask

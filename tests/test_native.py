@@ -113,10 +113,10 @@ class TestThroughput:
         paths = []
         for i in range(64):
             p = str(tmp_path / f"s{i}.npy")
-            np.save(p, rng.standard_normal((257, 626)).astype(np.float32))
+            np.save(p, rng.standard_normal((129, 626)).astype(np.float32))
             paths.append(p)
         t0 = time.perf_counter()
-        out = nl.load_npy_batch(paths, (257, 626))
+        out = nl.load_npy_batch(paths, (129, 626))
         t_native = time.perf_counter() - t0
         t0 = time.perf_counter()
         ref = np.stack([np.load(p) for p in paths])
@@ -150,6 +150,27 @@ class TestWordPiece:
         ids, pm = t.encode("a zzz " + "a " * 20, max_length=4)
         assert list(ids[0]) == [2, 1, 2, 2]   # a, [UNK], a, a (truncated)
         assert (pm == 0).all()
+
+    def test_unicode_whitespace_and_vocab_swap(self, tmp_path):
+        """HF BasicTokenizer maps every Unicode Zs to a separator: NBSP must
+        split words, not glue them into [UNK]; and two tokenizer instances
+        with different vocabs must not read each other's (global) table."""
+        from mla_tpu.data.wordpiece import WordPieceTokenizer
+        vocab = ["[PAD]", "[UNK]", "hello", "world"]
+        p = str(tmp_path / "v1.txt")
+        open(p, "w").write("\n".join(vocab) + "\n")
+        t1 = WordPieceTokenizer(p)
+        ids, pm = t1.encode("hello world hello", max_length=4)
+        assert list(ids[0][:3]) == [2, 3, 2]   # hello world hello
+
+        vocab2 = ["[PAD]", "[UNK]", "x", "y", "z", "hello"]
+        p2 = str(tmp_path / "v2.txt")
+        open(p2, "w").write("\n".join(vocab2) + "\n")
+        t2 = WordPieceTokenizer(p2)
+        ids2, _ = t2.encode("hello", max_length=2)
+        assert int(ids2[0][0]) == 5            # v2's table
+        ids1, _ = t1.encode("hello", max_length=2)
+        assert int(ids1[0][0]) == 2            # t1 reloaded ITS vocab
 
     def test_etl_cli_native_vocab(self, tmp_path):
         from mla_tpu.data.etl import cli
