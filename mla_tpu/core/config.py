@@ -244,14 +244,22 @@ class MLAConfig:
             raise ValueError("--gs_flag requires a concat fusion head "
                              "(fusion_method=concat); sum has no shared "
                              "fc_out for the alternating updates")
-        if self.fusion_method in ("gated", "film") and not self.gs_flag:
-            # Defined but never constructed in the reference (basic_model.py:35-38).
+        if self.fusion_method in ("gated", "film"):
+            # Defined but never constructed in the reference
+            # (basic_model.py:35-38) — under gs_flag too (_make_fusion would
+            # raise during model setup; fail at config instead)
             raise NotImplementedError(
                 f"fusion_method={self.fusion_method} is declared but not wired in the "
                 "reference classifier composition; use sum or concat")
         _ = self.n_classes
         if self.modal3 and self.dataset != "IEMOCAP":
             raise ValueError("--modal3 is only supported with IEMOCAP")
+        if self.modal3 and self.lorb != "m3ae":
+            # build_classifier honors modal3 only on the m3ae branch
+            # (classifiers.py); base/large would pair a 2-modal model with
+            # the 3-modal adapter and KeyError deep in state init
+            raise ValueError("--modal3 requires --lorb m3ae "
+                             "(basic_model.py:202-275 Modal3 composition)")
         if self.m3ae_size not in ("small", "base", "large", "huge", "debug"):
             raise ValueError("--m3ae_size must be one of small/base/large/"
                              f"huge/debug, got {self.m3ae_size}")
@@ -308,14 +316,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", default=d.alpha, type=float)
     p.add_argument("--ckpt_path", default=d.ckpt_path, type=str)
     p.add_argument("--train", action="store_true")
-    p.add_argument("--use_tensorboard", default=d.use_tensorboard, type=bool)
+    p.add_argument("--use_tensorboard", default=d.use_tensorboard,
+                   action=argparse.BooleanOptionalAction,
+                   help="reference main.py:43 used type=bool (any non-empty "
+                        "string == True, so it could never be disabled); "
+                        "here --no-use_tensorboard works")
     p.add_argument("--tensorboard_path", default=d.tensorboard_path, type=str)
     p.add_argument("--random_seed", default=d.random_seed, type=int)
     p.add_argument("--gpu_ids", default="", type=str,
                    help="ignored; devices come from the JAX mesh")
     p.add_argument("--lorb", default=d.lorb, type=str, choices=list(LORBS))
     p.add_argument("--gs_flag", action="store_true")
-    p.add_argument("--av_alpha", default=d.av_alpha, type=float)
+    p.add_argument("--av_alpha", default=None, type=float,
+                   help="2-modal fusion weight; when omitted the CLI uses "
+                        "0.55 (__main__ calls main(av_alpha=0.55), "
+                        "main.py:968) over the dataclass default 0.5")
     p.add_argument("--cav_opti", action="store_true")
     p.add_argument("--cav_lrs", action="store_true")
     p.add_argument("--cav_augnois", action="store_true")
@@ -409,6 +424,11 @@ def config_from_args(argv=None) -> MLAConfig:
             int(x) for x in ns.resnet_stages.split(","))
     else:
         kw.pop("resnet_stages", None)
+    if ns.av_alpha is None:
+        # the reference's __main__ overrides the function default 0.5 with
+        # 0.55 (main.py:968); detecting 'flag omitted' via a None sentinel
+        # also covers the --av_alpha=X form a raw argv scan missed
+        kw["av_alpha"] = 0.55
     if ns.export_batch_sizes:
         kw["export_batch_sizes"] = tuple(
             int(x) for x in ns.export_batch_sizes.split(","))

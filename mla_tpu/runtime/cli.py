@@ -13,15 +13,15 @@ from mla_tpu.core.config import config_from_args
 
 
 def main(argv=None):
+    # --av_alpha default handling (0.55 unless passed, main.py:968) lives in
+    # config_from_args via a None parser sentinel — a raw argv scan missed
+    # the --av_alpha=X form and argparse abbreviations
     cfg = config_from_args(argv)
     # multi-host: must run before anything can touch the XLA backend, so the
     # driver import (whose transitive imports may compile) comes after
     from mla_tpu.parallel import distributed
     distributed.initialize(cfg)
     from mla_tpu.runtime.driver import run
-    # main.py:968: the driver overrides av_alpha to 0.55 for 2-modal training
-    if "--av_alpha" not in (argv or sys.argv):
-        cfg = cfg.replace(av_alpha=0.55)
     run(cfg)
 
 

@@ -57,6 +57,40 @@ class TestReferenceCLISurface:
         with pytest.raises(SystemExit):
             config_from_args(["--modulation", "bogus"])
 
+    def test_av_alpha_default_is_055(self):
+        # reference __main__ calls main(av_alpha=0.55) (main.py:968),
+        # overriding the function default 0.5 — omitted flag must give 0.55
+        cfg = config_from_args(["--dataset", "CREMAD"])
+        assert cfg.av_alpha == 0.55
+
+    @pytest.mark.parametrize("argv", [
+        ["--dataset", "CREMAD", "--av_alpha", "0.4"],
+        ["--dataset", "CREMAD", "--av_alpha=0.4"],  # the form a raw scan missed
+    ])
+    def test_av_alpha_explicit_wins(self, argv):
+        assert config_from_args(argv).av_alpha == 0.4
+
+    def test_use_tensorboard_can_be_disabled(self):
+        # reference main.py:43 used type=bool: any non-empty string parsed
+        # True, so it could never be turned off from the CLI
+        cfg = config_from_args(["--dataset", "CREMAD", "--no-use_tensorboard"])
+        assert not cfg.use_tensorboard
+        assert config_from_args(["--dataset", "CREMAD"]).use_tensorboard
+
+    def test_modal3_requires_m3ae(self):
+        # base/large would pair a 2-modal model with the 3-modal adapter
+        with pytest.raises(ValueError, match="modal3 requires"):
+            config_from_args(["--dataset", "IEMOCAP", "--modal3",
+                              "--lorb", "base"])
+
+    def test_gated_film_rejected_even_with_gs(self):
+        # declared but never constructed in the reference
+        # (basic_model.py:35-38) — including under gs_flag
+        for extra in ([], ["--gs_flag"]):
+            with pytest.raises(NotImplementedError):
+                config_from_args(["--dataset", "CREMAD",
+                                  "--fusion_method", "gated"] + extra)
+
     def test_tpu_additions(self):
         cfg = config_from_args(["--dataset", "CREMAD", "--gs_rls",
                                 "--no_ghost_updates", "--image_size", "64",
