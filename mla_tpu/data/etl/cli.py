@@ -128,14 +128,33 @@ def cmd_extract_token(args):
         encode = lambda text: wp.encode(text, args.max_length)
     else:
         from transformers import BertTokenizer
-        tok = BertTokenizer.from_pretrained(args.tokenizer)
+        try:  # cached copy first: skips minutes of hub connect timeouts
+            tok = BertTokenizer.from_pretrained(args.tokenizer,
+                                                local_files_only=True)
+        except Exception:
+            try:
+                tok = BertTokenizer.from_pretrained(args.tokenizer)
+            except Exception as e:
+                raise SystemExit(
+                    f"cannot load HF tokenizer '{args.tokenizer}': no cached "
+                    f"copy and the hub is unreachable ({type(e).__name__}). "
+                    "Pass --vocab vocab.txt to use the self-contained C++ "
+                    "WordPiece tokenizer instead.") from e
 
         def encode(text):
             enc = tok(text, max_length=args.max_length, truncation=True,
                       padding="max_length", add_special_tokens=False,
                       return_tensors="np")
-            return (enc["input_ids"].astype(np.int64),
-                    (1 - enc["attention_mask"]).astype(np.float32))
+            ids = enc["input_ids"].astype(np.int64)
+            am = enc["attention_mask"]
+            if ids.shape[1] == 0:
+                # transformers quirk: padding='max_length' does NOT pad a
+                # zero-token encoding — the reference saves (1, 0) arrays an
+                # (N, 256) collation then crashes on; write the padded row
+                # (matches the C++ path; tests/test_etl.py pins both)
+                ids = np.zeros((1, args.max_length), np.int64)
+                am = np.zeros((1, args.max_length), am.dtype)
+            return ids, (1 - am).astype(np.float32)
     with open(args.text_file) as f:
         for line in f:
             name, _, text = line.rstrip("\n").partition("\t")

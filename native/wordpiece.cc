@@ -8,7 +8,7 @@
 // Latin-1 supplement, punctuation split, CJK isolation) + greedy
 // longest-match-first WordPiece against a vocab.txt.
 //
-// Exposed over ctypes (mla_tpu/data/native_loader.py::wordpiece_encode).
+// Exposed over ctypes (mla_tpu/data/wordpiece.py::WordPieceTokenizer).
 
 #include <cstdint>
 #include <cstring>
@@ -26,17 +26,49 @@ struct Vocab {
 
 Vocab* g_vocab = nullptr;
 
+// HF BasicTokenizer._clean_text drops NUL/U+FFFD and every category-C
+// codepoint (Cc except \t\n\r, and Cf: soft hyphen, ZW(N)J/ZWSP, LRM/RLM,
+// bidi embeddings, word joiner, invisible operators, BOM, interlinear
+// annotation, Arabic letter mark, Mongolian vowel separator). Checked
+// BEFORE IsPunct — several Cf ranges sit inside the U+2000 punct block.
+bool IsControl(uint32_t cp) {
+  if (cp == 0 || cp == 0xFFFD) return true;
+  if (cp < 0x20) return cp != '\t' && cp != '\n' && cp != '\r';
+  if (cp >= 0x7F && cp <= 0x9F) return true;  // DEL + C1 controls
+  return cp == 0xAD || cp == 0x061C || cp == 0x180E || cp == 0xFEFF ||
+         (cp >= 0x200B && cp <= 0x200F) || (cp >= 0x202A && cp <= 0x202E) ||
+         (cp >= 0x2060 && cp <= 0x2064) || (cp >= 0x2066 && cp <= 0x206F) ||
+         (cp >= 0xFFF9 && cp <= 0xFFFB);
+}
+
 bool IsPunct(uint32_t cp) {
   if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
       (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126))
     return true;
-  // general unicode punctuation blocks
+  // Latin-1 category-P: ¡ § « ¶ · » ¿ (HF uses unicodedata category P*)
+  if (cp == 0xA1 || cp == 0xA7 || cp == 0xAB || cp == 0xB6 || cp == 0xB7 ||
+      cp == 0xBB || cp == 0xBF)
+    return true;
+  // fullwidth/halfwidth forms, category-P subset of FF00-FF65 (the Sc/Sm/Sk
+  // symbols ＄＋＜＝＞＾｀｜～ are NOT punctuation in HF)
+  if ((cp >= 0xFF01 && cp <= 0xFF03) || (cp >= 0xFF05 && cp <= 0xFF0A) ||
+      (cp >= 0xFF0C && cp <= 0xFF0F) || cp == 0xFF1A || cp == 0xFF1B ||
+      cp == 0xFF1F || cp == 0xFF20 || (cp >= 0xFF3B && cp <= 0xFF3D) ||
+      cp == 0xFF3F || cp == 0xFF5B || cp == 0xFF5D ||
+      (cp >= 0xFF5F && cp <= 0xFF65))
+    return true;
+  // general unicode punctuation blocks (approximate: a handful of
+  // category-S codepoints inside 3004-303E are misclassified; no CJK
+  // text exists in the reference's datasets)
   return (cp >= 0x2000 && cp <= 0x206F) || (cp >= 0x3000 && cp <= 0x303F);
 }
 
 bool IsCJK(uint32_t cp) {
   return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
-         (cp >= 0xF900 && cp <= 0xFAFF);
+         (cp >= 0xF900 && cp <= 0xFAFF) ||
+         (cp >= 0x20000 && cp <= 0x2A6DF) ||  // ext B
+         (cp >= 0x2A700 && cp <= 0x2CEAF) ||  // ext C-E
+         (cp >= 0x2F800 && cp <= 0x2FA1F);    // compat supplement
 }
 
 // decode one utf-8 codepoint; advances i
@@ -117,13 +149,15 @@ std::vector<std::string> BasicTokenize(const std::string& text) {
               cp == 0x202F || cp == 0x205F || cp == 0x3000 || cp == 0x1680;
     if (zs) {
       flush();
+    } else if (IsControl(cp)) {
+      // dropped WITHOUT flushing: HF removes control chars before word
+      // splitting, so "a<ZWSP>b" is one word "ab", not two
+      continue;
     } else if (IsPunct(cp) || IsCJK(cp)) {
       flush();
       std::string p;
       AppendCp(&p, cp);
       words.push_back(p);
-    } else if (cp == 0xFFFD || cp == 0) {
-      continue;
     } else {
       AppendCp(&cur, cp);
     }
@@ -134,7 +168,11 @@ std::vector<std::string> BasicTokenize(const std::string& text) {
 
 void WordpieceWord(const Vocab& v, const std::string& word,
                    std::vector<int32_t>* ids) {
-  if (word.size() > 100) {
+  // HF's max_input_chars_per_word=100 counts CODEPOINTS, not bytes
+  size_t nchars = 0;
+  for (char c : word)
+    if ((c & 0xC0) != 0x80) ++nchars;
+  if (nchars > 100) {
     ids->push_back(v.unk);
     return;
   }

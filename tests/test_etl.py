@@ -56,6 +56,73 @@ class TestListsETL:
         assert classes == ["LAB0", "LAB1", "LAB2"]
 
 
+class TestWordPieceHFParity:
+    """C++ WordPiece (native/wordpiece.cc) == the reference's actual
+    tokenizer algorithm — transformers.BertTokenizer, the pure-Python slow
+    class extract_token.py:15 instantiates — constructed OFFLINE from a
+    local vocab file (no hub access needed), with extract_token.py:38-50's
+    exact call contract (add_special_tokens=False, padding='max_length',
+    pm = 1 - attention_mask)."""
+
+    VOCAB = ("[PAD] [UNK] [CLS] [SEP] [MASK] "
+             "the un ##aff ##able ##ab ##le hello world don ' t , . ! ? "
+             "« » ¿ ¡ · § zero width zerowidth ##width naive uber facade "
+             "a b ab abc 1 2 3 ##2 ##3 中 文 ##s cat ##nap catnap").split()
+
+    TEXTS = [
+        "Hello, World!",                     # case + ASCII punct splits
+        "don't stop",                        # apostrophe split
+        "unaffable",                         # greedy longest-match ##pieces
+        "the unable",                        # un + ##able vs unable backtrack
+        "naïve Über façade",                 # Latin-1 accent strip via lower
+        "«quoted» ¿hello? ¡si! a·b §1",      # Latin-1 category-P splits
+        "zero​width",                   # ZWSP removed -> one word
+        "soft\xadhyphen a⁠b a﻿b",  # Cf removed mid-word
+        "a‍b a‪b a\x01b a\x7fb",   # ZWJ/bidi/Cc removed
+        "a b a b a　b",        # NBSP/em/ideographic space split
+        "中文 abc",                           # CJK chars isolated
+        "one-two–three—four",                # hyphen + en/em dash (2013/2014)
+        "a" * 101,                           # >100 chars -> [UNK]
+        "中" * 101,                           # >100 CODEPOINTS (303 bytes)
+        "xyzzy catnap cat catnap",           # unk word + whole-word match
+        "123 abc123",                        # digits + wordpiece continuation
+        "hello " * 40,                       # truncation past max_length
+    ]
+
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        from transformers import BertTokenizer
+        from mla_tpu.data.wordpiece import WordPieceTokenizer
+        p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+        p.write_text("\n".join(self.VOCAB) + "\n")
+        return BertTokenizer(str(p), do_lower_case=True), \
+            WordPieceTokenizer(str(p))
+
+    @pytest.mark.parametrize("i", range(len(TEXTS)))
+    def test_ids_and_pm_match(self, pair, i):
+        hf, ours = pair
+        text, L = self.TEXTS[i], 32
+        enc = hf(text, padding="max_length", truncation=True, max_length=L,
+                 return_tensors="np", add_special_tokens=False)
+        ids, pm = ours.encode(text, max_length=L)
+        np.testing.assert_array_equal(ids[0], enc["input_ids"][0])
+        np.testing.assert_array_equal(
+            pm[0], 1.0 - enc["attention_mask"][0].astype(np.float32))
+
+    @pytest.mark.parametrize("text", ["", "   \t\n  ", "​\xad"])
+    def test_empty_divergence_documented(self, pair, text):
+        """Zero-token inputs: transformers' padding='max_length' does NOT pad
+        an empty encoding — the reference would np.save a (1, 0) token array
+        an (N, 256)-collating DataLoader then crashes on. We write the sane
+        fully-padded row (all [PAD], pm all 1) instead."""
+        hf, ours = pair
+        enc = hf(text, padding="max_length", truncation=True, max_length=32,
+                 return_tensors="np", add_special_tokens=False)
+        assert enc["input_ids"].shape[1] == 0  # the quirk, pinned
+        ids, pm = ours.encode(text, max_length=32)
+        assert ids.shape == (1, 32) and (ids == 0).all() and (pm == 1.0).all()
+
+
 class TestTokenETL:
     def test_extract_token(self, tmp_path):
         try:
