@@ -7,6 +7,9 @@ as a markdown table (recorded in BASELINE.md). The slow-tier test
 (tests/test_e2e_ab.py) asserts the same trajectories within tolerance.
 
 Usage: python benchmarks/e2e_ab.py [epochs] [n_train] [regime ...]
+Regimes: Normal OGM OGM_GE QMF MLA MLA_dynamic, optionally prefixed
+``m3ae:`` (e.g. ``m3ae:MLA``) to A/B the transformer family (MVSA
+image-text, depth-1 768-wide both sides — ab_harness.tiny_ref_m3ae).
 """
 
 import os
@@ -42,8 +45,9 @@ def main():
     print("|---|---|---|---|---|---|")
     summary = []
     for regime in regimes:
-        ref, ours, ri, oi = run_ab(regime, root, td, epochs=epochs,
-                                   n_train=n_train)
+        lorb, _, r_name = regime.rpartition(":")
+        ref, ours, ri, oi = run_ab(r_name, root, td, epochs=epochs,
+                                   n_train=n_train, lorb=lorb or "base")
         for r, o in zip(ref, ours):
             print(f"| {regime} | {r['epoch']} | {r['loss']:.5f} | "
                   f"{o['loss']:.5f} | {r['acc']:.4f} | {o['acc']:.4f} |")

@@ -27,6 +27,7 @@ semantics of the paper's published environment.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import importlib.machinery
 import importlib.util
 import sys
@@ -62,6 +63,20 @@ def load_reference():
     # CUDA-written research code on a CPU-only torch build
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
+    # m3ae.py hardcodes .to(torch.device('cuda:0')) inside its forward
+    # (m3ae.py:61,115,343-361) — coerce cuda targets to cpu
+    _tensor_to = torch.Tensor.to
+
+    def _to_cpu(self, *a, **k):
+        a = tuple(torch.device("cpu")
+                  if isinstance(d, torch.device) and d.type == "cuda" else d
+                  for d in a)
+        d = k.get("device")
+        if isinstance(d, torch.device) and d.type == "cuda":
+            k["device"] = torch.device("cpu")
+        return _tensor_to(self, *a, **k)
+
+    torch.Tensor.to = _to_cpu
     # oneDNN picks Winograd-style 3x3 conv backwards whose fp32 numerics sit
     # ~1e-3 relative off the direct algorithm (measured: visual_net grad
     # errors collapse from 1e-1 to 1e-6 relative with it off). The A/B
@@ -166,6 +181,53 @@ def to_torch_base(batch: Dict[str, np.ndarray]):
     return (spec, image, label, idx)
 
 
+def to_torch_m3ae(batch: Dict[str, np.ndarray]):
+    """Our M3AE batch dict -> the (token, padding_mask, image, label, idx)
+    tuple the reference's m3ae branch unpacks (main.py:153-157)."""
+    import torch
+    n = int(batch["valid"].sum())
+    token = torch.from_numpy(batch["token"][:n]).long()
+    pm = torch.from_numpy(batch["padding_mask"][:n]).float()
+    image = torch.from_numpy(batch["image"][:n]).float()
+    label = torch.from_numpy(batch["label"][:n]).long()
+    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
+    return (token, pm, image, label, idx)
+
+
+@contextlib.contextmanager
+def tiny_ref_m3ae(depth: int = 1, fix_droppath: bool = True):
+    """Make the reference m3ae family runnable (and CPU-sized) for the A/B.
+
+    - depth -> ``depth`` blocks via get_transformer_by_config; emb stays 768
+      because the fusion/QMF head widths are HARDCODED to base's width
+      (basic_model.py:149-180).
+    - fix_droppath repairs the as-shipped DropPath crash: DropPath.forward's
+      return line is commented out (m3ae.py:62) and Block calls it with the
+      default deterministic=False (m3ae.py:148,153), so EVERY m3ae forward
+      computes ``inputs + None`` -> TypeError, on GPU too (pinned by
+      test_e2e_ab.py::test_reference_m3ae_droppath_crashes_as_shipped, which
+      passes fix_droppath=False). Identity IS the intended math at
+      drop_path=0: keep_prob 1 -> floor(1 + U[0,1)) == 1.
+    """
+    ref = load_reference()
+    rm3 = sys.modules["models.m3ae"]
+    orig_cfg = rm3.get_transformer_by_config
+    orig_dp = rm3.DropPath.forward
+
+    def small_cfg(model_type, config):
+        orig_cfg(model_type, config)
+        config.depth = depth
+
+    rm3.get_transformer_by_config = small_cfg
+    if fix_droppath:
+        rm3.DropPath.forward = lambda self, input, deterministic=False: input
+    try:
+        yield ref
+    finally:
+        rm3.get_transformer_by_config = orig_cfg
+        rm3.DropPath.forward = orig_dp
+
+
 # ---------------------------------------------------------------------------
 # reference side
 # ---------------------------------------------------------------------------
@@ -183,8 +245,18 @@ def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
     device = torch.device("cpu")
 
     ref.setup_seed(cfg.random_seed)
-    model = ref.AVClassifier(args)
-    model.apply(ref.weight_init)            # main.py:719
+    if cfg.lorb == "m3ae":
+        # the ctor torch.loads hardcoded '/path/to/m3ae_*.pth'
+        # (basic_model.py:166-174); {} + strict=False keeps the random init
+        _load = torch.load
+        torch.load = lambda *a, **k: {}
+        try:
+            model = ref.M3AEClassifier(args)  # NO weight_init (main.py:709-718)
+        finally:
+            torch.load = _load
+    else:
+        model = ref.AVClassifier(args)
+        model.apply(ref.weight_init)        # main.py:719
     model = nn.DataParallel(model)          # main.py:732 (CPU degenerate)
     if init_path:
         torch.save({"model": model.state_dict()}, init_path)
@@ -202,8 +274,9 @@ def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
     txt_history = ref.History(n_data)
     img_history = ref.History(n_data)
 
-    train_t = [[to_torch_base(b) for b in ep] for ep in train_eps]
-    test_t = [to_torch_base(b) for b in test_bs]
+    conv = to_torch_m3ae if cfg.lorb == "m3ae" else to_torch_base
+    train_t = [[conv(b) for b in ep] for ep in train_eps]
+    test_t = [conv(b) for b in test_bs]
 
     # eval-at-init: with bit-identical params this pins eval-path parity
     # independently of training-trajectory drift
@@ -305,31 +378,54 @@ def run_ours(cfg, train_eps, test_bs, n_data: int, init_path: str):
 
 def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
            n_train: int = 48, n_test: int = 16, batch_size: int = 16,
-           learning_rate: float = 2e-3, seed: int = 7):
+           learning_rate: float = 2e-3, seed: int = 7, lorb: str = "base"):
     """One regime end-to-end A/B. regime in {'Normal', 'OGM', 'OGM_GE',
-    'QMF', 'MLA', 'MLA_dynamic'}. Returns (ref_history, our_history)."""
+    'QMF', 'MLA', 'MLA_dynamic'}; lorb in {'base', 'm3ae'} (m3ae = MVSA
+    image-text with depth-1 768-wide encoders both sides — see
+    tiny_ref_m3ae). Returns (ref_history, our_history)."""
     import os
 
     from mla_tpu.core.config import MLAConfig
     from mla_tpu.data import synthetic
 
-    if not os.path.exists(os.path.join(root, "stat_cre.txt")):
-        synthetic.make_cremad(root, n_train=n_train, n_test=n_test,
-                              spec_shape=(64, 80), learnable=True, seed=1)
     gs_flag = regime.startswith("MLA")
-    cfg = MLAConfig(
-        dataset="CREMAD", lorb="base", train=True,
-        modulation="Normal" if gs_flag else
-        ("Normal" if regime == "Normal" else regime),
+    common = dict(
+        lorb=lorb, train=True,
+        modulation="Normal" if (gs_flag or regime == "Normal") else regime,
         gs_flag=gs_flag, dynamic=regime.endswith("dynamic"),
-        image_size=32, batch_size=batch_size, epochs=epochs,
+        batch_size=batch_size, epochs=epochs,
         learning_rate=learning_rate, random_seed=seed, data_root=root,
         av_alpha=0.55, compute_dtype="float32",
         ghost_updates=False,        # torch 2.x semantics (module docstring)
-        use_tensorboard=False, num_workers=2).validate()
+        use_tensorboard=False, num_workers=2)
+    if lorb == "m3ae":
+        if not os.path.exists(os.path.join(root, "stat_mvsa.txt")):
+            synthetic.make_m3ae(root, dataset="MVSA", n_train=n_train,
+                                n_test=n_test, seed=1, token_len=64)
+        # 64px -> 16 image patches; both sides run 768-wide depth-1 encoders
+        cfg = MLAConfig(dataset="MVSA", image_size=64, **common).validate()
+    else:
+        if not os.path.exists(os.path.join(root, "stat_cre.txt")):
+            synthetic.make_cremad(root, n_train=n_train, n_test=n_test,
+                                  spec_shape=(64, 80), learnable=True, seed=1)
+        cfg = MLAConfig(dataset="CREMAD", image_size=32, **common).validate()
 
     train_eps, test_bs, n_data = capture_batches(cfg, epochs)
-    init_path = os.path.join(workdir, f"init_{regime}.pth")
+    init_path = os.path.join(workdir, f"init_{lorb}_{regime}.pth")
+    if lorb == "m3ae":
+        from mla_tpu.models import m3ae as our_m3ae
+        orig = our_m3ae.M3AE_CONFIGS["base"]
+        our_m3ae.M3AE_CONFIGS["base"] = (768, 1, 12, 4)  # match tiny_ref depth
+        try:
+            with tiny_ref_m3ae(depth=1):
+                ref_hist, ref_init = run_reference(
+                    cfg, train_eps, test_bs, av_alpha=0.55,
+                    init_path=init_path)
+            our_hist, our_init = run_ours(cfg, train_eps, test_bs, n_data,
+                                          init_path)
+        finally:
+            our_m3ae.M3AE_CONFIGS["base"] = orig
+        return ref_hist, our_hist, ref_init, our_init
     ref_hist, ref_init = run_reference(cfg, train_eps, test_bs, av_alpha=0.55,
                                        init_path=init_path)
     our_hist, our_init = run_ours(cfg, train_eps, test_bs, n_data, init_path)

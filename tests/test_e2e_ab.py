@@ -19,7 +19,7 @@ import os
 
 import pytest
 
-from ab_harness import run_ab, trajectory_diffs
+from ab_harness import load_reference, run_ab, tiny_ref_m3ae, trajectory_diffs
 
 REGIMES = {
     # regime: (max |Δloss| epoch 0, max |Δloss| any epoch, final |Δacc|)
@@ -53,3 +53,61 @@ def test_reference_ab_trajectory(regime, tmp_path):
     assert ref[-1]["loss"] < 0.5 * ref[0]["loss"], ref
     assert ours[-1]["loss"] < 0.5 * ours[0]["loss"], ours
     assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
+
+
+M3AE_REGIMES = {
+    # transformer trajectories drift less than the BN-heavy CNN ones (no
+    # invstd amplifier); bands set ~4x above measured drift
+    "Normal": (0.02, 0.10, 0.25),
+    "QMF": (0.02, 0.10, 0.25),
+    "MLA": (0.02, 0.10, 0.25),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("regime", list(M3AE_REGIMES))
+def test_reference_ab_trajectory_m3ae(regime, tmp_path):
+    """The transformer family A/B: MVSA image-text, depth-1 768-wide
+    encoders both sides (see ab_harness.tiny_ref_m3ae), reference's own
+    train_epoch/valid m3ae branch (main.py:153-157) vs our jitted steps."""
+    e0_tol, loss_tol, acc_tol = M3AE_REGIMES[regime]
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=2, lorb="m3ae")
+
+    for k in ("acc", "acc_a", "acc_v"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+
+    for k in ("loss", "loss_a", "loss_v"):
+        assert abs(ref[0][k] - ours[0][k]) <= e0_tol, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= loss_tol, (dl, ref, ours)
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
+
+
+@pytest.mark.slow
+def test_reference_m3ae_droppath_crashes_as_shipped():
+    """Pins the divergence note in tiny_ref_m3ae: the as-shipped reference
+    m3ae forward raises TypeError (DropPath.forward's return is commented
+    out, m3ae.py:53-62, and Block invokes it with deterministic=False,
+    m3ae.py:148,153 -> ``inputs + None``). Our identity repair is the
+    documented delta, not a silent behavior change."""
+    import argparse
+
+    import torch
+
+    ref = load_reference()
+    with tiny_ref_m3ae(depth=1, fix_droppath=False):
+        args = argparse.Namespace(dataset="MVSA", modulation="Normal",
+                                  fusion_method="concat", gs_flag=True,
+                                  clip="none", modal3=False)
+        _load = torch.load
+        torch.load = lambda *a, **k: {}
+        try:
+            model = ref.M3AEClassifier(args)
+        finally:
+            torch.load = _load
+        token = torch.zeros((2, 1, 8), dtype=torch.long)
+        pm = torch.zeros((2, 1, 8))
+        image = torch.zeros((2, 3, 64, 64))
+        with pytest.raises(TypeError):
+            model(token, pm, image)
