@@ -7,9 +7,12 @@ as a markdown table (recorded in BASELINE.md). The slow-tier test
 (tests/test_e2e_ab.py) asserts the same trajectories within tolerance.
 
 Usage: python benchmarks/e2e_ab.py [epochs] [n_train] [regime ...]
-Regimes: Normal OGM OGM_GE QMF MLA MLA_dynamic, optionally prefixed
-``m3ae:`` (e.g. ``m3ae:MLA``) to A/B the transformer family (MVSA
-image-text, depth-1 768-wide both sides — ab_harness.tiny_ref_m3ae).
+Regimes: Normal OGM OGM_GE QMF MLA MLA_dynamic, optionally prefixed with a
+family: ``m3ae:`` (MVSA image-text transformers, depth-1 768-wide both
+sides — ab_harness.tiny_ref_m3ae), ``modal3:`` (IEMOCAP 3-modality, tiny
+CAV-MAE audio + 2x depth-1 M3AE — ab_harness.CAV_TINY), ``large:``
+(CREMA-D 2x tiny CAV-MAE), ``clip:`` (Food-101 precomputed features).
+Unprefixed = the base ResNet CNN family.
 """
 
 import os
@@ -45,9 +48,11 @@ def main():
     print("|---|---|---|---|---|---|")
     summary = []
     for regime in regimes:
-        lorb, _, r_name = regime.rpartition(":")
-        ref, ours, ri, oi = run_ab(r_name, root, td, epochs=epochs,
-                                   n_train=n_train, lorb=lorb or "base")
+        fam, _, r_name = regime.rpartition(":")
+        ref, ours, ri, oi = run_ab(
+            r_name, root, td, epochs=epochs, n_train=n_train,
+            lorb=fam if fam in ("m3ae", "large") else "base",
+            modal3=fam == "modal3", clip=fam == "clip")
         for r, o in zip(ref, ours):
             print(f"| {regime} | {r['epoch']} | {r['loss']:.5f} | "
                   f"{o['loss']:.5f} | {r['acc']:.4f} | {o['acc']:.4f} |")

@@ -167,6 +167,16 @@ class MLAConfig:
                                       # = 2,2,2,2 — backbone.py:110). 1,1,1,1
                                       # gives a ResNet-10 (same 512-d feature)
                                       # for reduced-depth CI/deployments.
+    audio_length: int = 1024          # CAV-MAE fbank time dim (large/modal3);
+                                      # reference hardcodes 1024 (cav_mae.py:117,
+                                      # basic_model.py:231). CI knob: patches_a
+                                      # = audio_length*128/256, so must be a
+                                      # multiple of 16 (8-row sin-cos grid).
+    cav_blocks: Tuple[int, int] = (11, 12)
+                                      # CAV-MAE (modality_specific_depth, depth)
+                                      # — reference: 11 specific + 1 joint
+                                      # (cav_mae.py:117-139). CI knob for
+                                      # reduced-depth runs, like resnet_stages.
 
     export_dir: Optional[str] = None  # serialize the eval forward + weights
                                       # to a jax.export serving artifact
@@ -283,6 +293,15 @@ class MLAConfig:
                              "(the stacked block layout pp stages consume)")
         if self.pp_microbatches < 0:
             raise ValueError("--pp_microbatches must be >= 0")
+        if self.audio_length < 16 or self.audio_length % 16:
+            # patches_a = audio_length*128/256 laid out on an 8-row sin-cos
+            # grid (cav_mae.py:129,161) -> audio_length must be 16-aligned
+            raise ValueError("--audio_length must be a positive multiple of "
+                             f"16, got {self.audio_length}")
+        if (len(self.cav_blocks) != 2 or self.cav_blocks[0] < 0
+                or self.cav_blocks[1] < self.cav_blocks[0]):
+            raise ValueError("--cav_blocks must be msd,depth with "
+                             f"0 <= msd <= depth, got {self.cav_blocks}")
         if self.pp_microbatches and self.seq_parallel:
             # sp.constrain's with_sharding_constraint cannot apply inside
             # pp's fully-manual shard_map — it raises at trace time
@@ -396,6 +415,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")
+    p.add_argument("--audio_length", default=d.audio_length, type=int,
+                   help="CAV-MAE fbank time dim for large/modal3 "
+                        "(default 1024 = reference; CI knob)")
+    p.add_argument("--cav_blocks", default=None, type=str,
+                   help="CAV-MAE msd,depth blocks (default 11,12 = "
+                        "reference; CI knob like --resnet_stages)")
     p.add_argument("--dist_coordinator", default=None, type=str,
                    help="coordinator host:port; enables multi-host DP via "
                         "jax.distributed.initialize()")
@@ -424,6 +449,10 @@ def config_from_args(argv=None) -> MLAConfig:
             int(x) for x in ns.resnet_stages.split(","))
     else:
         kw.pop("resnet_stages", None)
+    if ns.cav_blocks:
+        kw["cav_blocks"] = tuple(int(x) for x in ns.cav_blocks.split(","))
+    else:
+        kw.pop("cav_blocks", None)
     if ns.av_alpha is None:
         # the reference's __main__ overrides the function default 0.5 with
         # 0.55 (main.py:968); detecting 'flag omitted' via a None sentinel

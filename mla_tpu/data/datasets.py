@@ -212,9 +212,15 @@ class CAVAdapter:
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
             return stack_samples(samples)
         names = [self.index.names[i] for i in indices]
+        if not hasattr(self, "_fbank_shape"):
+            # probe instead of hardcoding (1024, 128): the C++ reader
+            # cut-and-pads to the requested shape, which would silently
+            # zero-extend short fixtures (--audio_length CI runs)
+            self._fbank_shape = np.load(os.path.join(
+                self.index.dir("audio"), names[0] + ".npy")).shape
         fbank = nl.load_npy_batch(
             [os.path.join(self.index.dir("audio"), n + ".npy") for n in names],
-            (1024, 128))
+            tuple(self._fbank_shape))
         paths = []
         for n in names:
             vdir = os.path.join(self.index.dir("visual"), n)

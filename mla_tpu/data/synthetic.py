@@ -40,7 +40,8 @@ def _write_lists(root, tag, names_labels):
 
 
 def make_cremad(root: str, n_train=8, n_test=4, seed=0,
-                spec_shape=(129, 626), fbank=False, learnable=False):
+                spec_shape=(129, 626), fbank=False, learnable=False,
+                fbank_len=1024):
     """CREMA-D tree for AVAdapter (spectrograms) or CAVAdapter (fbank=True).
 
     learnable=True injects a class-dependent pattern into both modalities
@@ -55,7 +56,7 @@ def make_cremad(root: str, n_train=8, n_test=4, seed=0,
         adir = os.path.join(root, f"audio/{mode}_fbank")
         os.makedirs(adir, exist_ok=True)
         for name, label in nl[mode]:
-            arr = rng.standard_normal((1024, 128) if fbank else spec_shape
+            arr = rng.standard_normal((fbank_len, 128) if fbank else spec_shape
                                       ).astype(np.float32)
             cls = CREMAD_CLASSES.index(label)
             if learnable:
@@ -101,7 +102,8 @@ def make_m3ae(root: str, dataset="MVSA", n_train=8, n_test=4, seed=0,
     return nl
 
 
-def make_iemocap(root: str, n_train=8, n_test=4, seed=0, token_len=256):
+def make_iemocap(root: str, n_train=8, n_test=4, seed=0, token_len=256,
+                 fbank_len=1024):
     rng = np.random.default_rng(seed)
     nl = {m: [(f"ses{m}{i:03d}", IEMO_CLASSES[i % 4])
               for i in range(n_train if m == "train" else n_test)]
@@ -119,7 +121,7 @@ def make_iemocap(root: str, n_train=8, n_test=4, seed=0, token_len=256):
             for k in range(3):
                 _write_jpg(os.path.join(vdir, f"f{k}.jpg"), rng)
             np.save(os.path.join(adir, name + ".npy"),
-                    rng.standard_normal((1024, 128)).astype(np.float32))
+                    rng.standard_normal((fbank_len, 128)).astype(np.float32))
             tok = rng.integers(0, 30522, (1, token_len)).astype(np.int64)
             np.save(os.path.join(tdir, name + "_token.npy"), tok)
             np.save(os.path.join(tdir, name + "_pm.npy"),

@@ -22,7 +22,7 @@ head when gs_flag, concat width otherwise.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -154,14 +154,18 @@ class CAVClassifier(nn.Module, _FusionMixin):
     modal3: bool = False
     audio_length: int = 1024
     img_size: int = 224
+    cav_blocks: Tuple[int, int] = (11, 12)   # (msd, depth) CI knob
 
     def setup(self):
+        msd, depth = self.cav_blocks
         self.mae_a = CAVMAEFT(self.n_classes, img_size=self.img_size,
-                              audio_length=self.audio_length, dtype=self.dtype,
-                              name="mae_a")
+                              audio_length=self.audio_length,
+                              modality_specific_depth=msd, depth=depth,
+                              dtype=self.dtype, name="mae_a")
         self.mae_v = CAVMAEFT(self.n_classes, img_size=self.img_size,
-                              audio_length=self.audio_length, dtype=self.dtype,
-                              name="mae_v")
+                              audio_length=self.audio_length,
+                              modality_specific_depth=msd, depth=depth,
+                              dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
                                           self.n_classes, 2, self.dtype,
                                           torch_default=True)
@@ -253,6 +257,7 @@ class Modal3Classifier(nn.Module, _FusionMixin):
     dtype: Dtype = jnp.float32
     modal3: bool = True
     audio_length: int = 1024
+    cav_blocks: Tuple[int, int] = (11, 12)   # (msd, depth) CI knob
     scan_blocks: bool = False
     scan_unroll: int = 1
     remat_blocks: bool = False     # jax.checkpoint each scanned block
@@ -263,6 +268,8 @@ class Modal3Classifier(nn.Module, _FusionMixin):
                          scan_unroll=self.scan_unroll,
                          remat_blocks=self.remat_blocks)
         self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
+                              modality_specific_depth=self.cav_blocks[0],
+                              depth=self.cav_blocks[1],
                               dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.mae_t = M3AEEncoder(cfg, dtype=self.dtype, name="mae_t")
@@ -348,14 +355,17 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
               qmf=cfg.modulation == "QMF" and not cfg.gs_flag, dtype=dtype)
     if cfg.lorb == "large":
         kw.pop("qmf")
-        return CAVClassifier(img_size=cfg.image_size or 224, **kw)
+        return CAVClassifier(img_size=cfg.image_size or 224,
+                             audio_length=cfg.audio_length,
+                             cav_blocks=tuple(cfg.cav_blocks), **kw)
     if cfg.lorb == "m3ae":
         kw["scan_blocks"] = cfg.scan_blocks
         kw["scan_unroll"] = cfg.scan_unroll
         kw["remat_blocks"] = cfg.remat_blocks
         kw["model_type"] = cfg.m3ae_size
         if cfg.modal3:
-            return Modal3Classifier(**kw)
+            return Modal3Classifier(audio_length=cfg.audio_length,
+                                    cav_blocks=tuple(cfg.cav_blocks), **kw)
         return M3AEClassifier(**kw)
     if cfg.clip:
         return CLIPClassifier(**kw)

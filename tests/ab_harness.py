@@ -109,7 +109,47 @@ def load_reference():
 
     tlayers.DropPath = _DropPath
     tvit = _stub_module("timm.models.vision_transformer")
-    for cls in ("Attention", "Mlp", "PatchEmbed", "Block"):
+
+    # cav_mae.py's Block composes timm's Attention/Mlp (cav_mae.py:93,101)
+    # while replacing timm's PatchEmbed/Block with its own (cav_mae.py:120-124)
+    # — so those two stubs must be REAL timm-0.4.5 math, the rest shells.
+    class _Attention(nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, qk_scale=None,
+                     attn_drop=0., proj_drop=0.):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = qk_scale or (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.attn_drop = nn.Dropout(attn_drop)
+            self.proj = nn.Linear(dim, dim)
+            self.proj_drop = nn.Dropout(proj_drop)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = (self.qkv(x)
+                   .reshape(B, N, 3, self.num_heads, C // self.num_heads)
+                   .permute(2, 0, 3, 1, 4))
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = ((q @ k.transpose(-2, -1)) * self.scale).softmax(dim=-1)
+            x = (self.attn_drop(attn) @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj_drop(self.proj(x))
+
+    class _Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, drop=0.):
+            super().__init__()
+            self.fc1 = nn.Linear(in_features, hidden_features or in_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features or in_features,
+                                 out_features or in_features)
+            self.drop = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+    tvit.Attention = _Attention
+    tvit.Mlp = _Mlp
+    for cls in ("PatchEmbed", "Block"):
         setattr(tvit, cls, type(cls, (nn.Module,), {
             "__init__": lambda self, *a, **k: nn.Module.__init__(self)}))
     tmodels.layers = tlayers
@@ -194,8 +234,47 @@ def to_torch_m3ae(batch: Dict[str, np.ndarray]):
     return (token, pm, image, label, idx)
 
 
+def to_torch_large(batch: Dict[str, np.ndarray]):
+    """Our CAV batch dict -> (spec=fbank, image, label, idx) for the
+    reference's lorb=large branch (main.py:159-162,166-168)."""
+    import torch
+    n = int(batch["valid"].sum())
+    spec = torch.from_numpy(batch["fbank"][:n]).float()
+    image = torch.from_numpy(batch["image"][:n]).float()
+    label = torch.from_numpy(batch["label"][:n]).long()
+    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
+    return (spec, image, label, idx)
+
+
+def to_torch_clip(batch: Dict[str, np.ndarray]):
+    """Our CLIP batch dict -> (spec=token_feat, image=image_feat, label, idx)
+    for the reference's clip branch (main.py:159-162,270-273)."""
+    import torch
+    n = int(batch["valid"].sum())
+    spec = torch.from_numpy(batch["token_feat"][:n]).float()
+    image = torch.from_numpy(batch["image_feat"][:n]).float()
+    label = torch.from_numpy(batch["label"][:n]).long()
+    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
+    return (spec, image, label, idx)
+
+
+def to_torch_modal3(batch: Dict[str, np.ndarray]):
+    """Our Modal3 batch dict -> the (token, padding_mask, image, spec, label,
+    idx) tuple the reference's modal3 branch unpacks (main.py:145-151)."""
+    import torch
+    n = int(batch["valid"].sum())
+    token = torch.from_numpy(batch["token"][:n]).long()
+    pm = torch.from_numpy(batch["padding_mask"][:n]).float()
+    image = torch.from_numpy(batch["image"][:n]).float()
+    spec = torch.from_numpy(batch["fbank"][:n]).float()
+    label = torch.from_numpy(batch["label"][:n]).long()
+    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
+    return (token, pm, image, spec, label, idx)
+
+
 @contextlib.contextmanager
-def tiny_ref_m3ae(depth: int = 1, fix_droppath: bool = True):
+def tiny_ref_m3ae(depth: int = 1, fix_droppath: bool = True,
+                  cav: tuple = None):
     """Make the reference m3ae family runnable (and CPU-sized) for the A/B.
 
     - depth -> ``depth`` blocks via get_transformer_by_config; emb stays 768
@@ -208,24 +287,46 @@ def tiny_ref_m3ae(depth: int = 1, fix_droppath: bool = True):
       test_e2e_ab.py::test_reference_m3ae_droppath_crashes_as_shipped, which
       passes fix_droppath=False). Identity IS the intended math at
       drop_path=0: keep_prob 1 -> floor(1 + U[0,1)) == 1.
+    - cav=(audio_length, msd, depth) additionally shrinks the modal3 audio
+      branch's CAVMAEFT (basic_model.py:231 constructs it with hardcoded
+      defaults): ctor kwargs for audio_length/modality_specific_depth, then
+      blocks_u truncated to depth-msd (blocks_u = 12 - msd is hardwired,
+      cav_mae.py:139).
     """
+    import torch.nn as tnn
+
     ref = load_reference()
     rm3 = sys.modules["models.m3ae"]
+    rbm = sys.modules["models.basic_model"]
     orig_cfg = rm3.get_transformer_by_config
     orig_dp = rm3.DropPath.forward
+    orig_cav = rbm.CAVMAEFT
 
     def small_cfg(model_type, config):
         orig_cfg(model_type, config)
         config.depth = depth
 
+    def small_cav(label_dim, **kw):
+        a_len, msd, cdepth = cav[:3]
+        kw["audio_length"] = a_len
+        kw["modality_specific_depth"] = msd
+        if len(cav) > 3:     # large family: the visual tower is live too
+            kw["img_size"] = cav[3]
+        m = orig_cav(label_dim, **kw)
+        m.blocks_u = tnn.ModuleList(list(m.blocks_u)[:cdepth - msd])
+        return m
+
     rm3.get_transformer_by_config = small_cfg
     if fix_droppath:
         rm3.DropPath.forward = lambda self, input, deterministic=False: input
+    if cav is not None:
+        rbm.CAVMAEFT = small_cav
     try:
         yield ref
     finally:
         rm3.get_transformer_by_config = orig_cfg
         rm3.DropPath.forward = orig_dp
+        rbm.CAVMAEFT = orig_cav
 
 
 # ---------------------------------------------------------------------------
@@ -245,15 +346,20 @@ def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
     device = torch.device("cpu")
 
     ref.setup_seed(cfg.random_seed)
-    if cfg.lorb == "m3ae":
-        # the ctor torch.loads hardcoded '/path/to/m3ae_*.pth'
-        # (basic_model.py:166-174); {} + strict=False keeps the random init
+    if cfg.lorb in ("m3ae", "large"):
+        # the ctors torch.load hardcoded '/path/to/{m3ae,cavmae}-*.pth'
+        # (basic_model.py:108-117,166-174,234-242); {} + strict=False keeps
+        # the random init.  NO weight_init for any of them (main.py:701-719)
         _load = torch.load
         torch.load = lambda *a, **k: {}
         try:
-            model = ref.M3AEClassifier(args)  # NO weight_init (main.py:709-718)
+            model = (ref.CAVClassifier(args) if cfg.lorb == "large"
+                     else ref.Modal3Classifier(args) if cfg.modal3
+                     else ref.M3AEClassifier(args))
         finally:
             torch.load = _load
+    elif cfg.clip:
+        model = ref.CLIPClassifier(args)    # NO weight_init (main.py:715-716)
     else:
         model = ref.AVClassifier(args)
         model.apply(ref.weight_init)        # main.py:719
@@ -273,15 +379,33 @@ def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
     n_data = sum(int(b["valid"].sum()) for b in train_eps[0])
     txt_history = ref.History(n_data)
     img_history = ref.History(n_data)
+    # main.py:820-828 builds the third History only for modal3
+    audio_history = ref.History(n_data) if cfg.modal3 else None
 
-    conv = to_torch_m3ae if cfg.lorb == "m3ae" else to_torch_base
+    conv = (to_torch_modal3 if cfg.modal3
+            else to_torch_m3ae if cfg.lorb == "m3ae"
+            else to_torch_large if cfg.lorb == "large"
+            else to_torch_clip if cfg.clip
+            else to_torch_base)
     train_t = [[conv(b) for b in ep] for ep in train_eps]
     test_t = [conv(b) for b in test_bs]
 
+    loss_keys = ("loss", "loss_a", "loss_v") + (("loss_t",) if cfg.modal3
+                                                else ())
+    acc_keys = ("acc", "acc_a", "acc_v") + (("acc_t",) if cfg.modal3 else ())
+
+    def run_valid():
+        # modal3 eval threads the per-modality alphas (main.py:858-863);
+        # the 2-modal call sites leave them at the function defaults
+        kw = dict(a_alpha=args.a_alpha, v_alpha=args.v_alpha,
+                  t_alpha=args.t_alpha) if cfg.modal3 else {}
+        ret = ref.valid(args, model, device, test_t, gs_flag=cfg.gs_flag,
+                        av_alpha=av_alpha, **kw)
+        return dict(zip(acc_keys, ret))
+
     # eval-at-init: with bit-identical params this pins eval-path parity
     # independently of training-trajectory drift
-    init_acc = ref.valid(args, model, device, test_t, gs_flag=cfg.gs_flag,
-                         av_alpha=av_alpha)
+    init_acc = run_valid()
 
     history = []
     for e, batches in enumerate(train_t):
@@ -289,16 +413,11 @@ def run_reference(cfg, train_eps, test_bs, av_alpha: float = 0.55,
                               scheduler, gs_plugin=gs, writer=None,
                               gs_flag=cfg.gs_flag, av_alpha=av_alpha,
                               txt_history=txt_history,
-                              img_history=img_history)
-        loss, loss_a, loss_v = ret[:3]
-        acc, acc_a, acc_v = ref.valid(args, model, device, test_t,
-                                      gs_flag=cfg.gs_flag,
-                                      av_alpha=av_alpha)
-        history.append({"epoch": e, "loss": loss, "loss_a": loss_a,
-                        "loss_v": loss_v, "acc": acc, "acc_a": acc_a,
-                        "acc_v": acc_v})
-    return history, {"acc": init_acc[0], "acc_a": init_acc[1],
-                     "acc_v": init_acc[2]}
+                              img_history=img_history,
+                              audio_history=audio_history)
+        history.append({"epoch": e, **dict(zip(loss_keys, ret)),
+                        **run_valid()})
+    return history, init_acc
 
 
 # ---------------------------------------------------------------------------
@@ -363,12 +482,16 @@ def run_ours(cfg, train_eps, test_bs, n_data: int, init_path: str):
                 jax.tree_util.tree_map(jnp.add, msum, metrics)
             nb += 1
         accs = eval_all(state)
-        history.append({"epoch": e,
-                        "loss": float(msum["loss"]) / nb,
-                        "loss_a": float(msum["loss_a"]) / nb,
-                        "loss_v": float(msum["loss_v"]) / nb,
-                        "acc": accs["acc"], "acc_a": accs.get("acc_a", 0.0),
-                        "acc_v": accs.get("acc_v", 0.0)})
+        rec = {"epoch": e,
+               "loss": float(msum["loss"]) / nb,
+               "loss_a": float(msum["loss_a"]) / nb,
+               "loss_v": float(msum["loss_v"]) / nb,
+               "acc": accs["acc"], "acc_a": accs.get("acc_a", 0.0),
+               "acc_v": accs.get("acc_v", 0.0)}
+        if cfg.modal3:
+            rec["loss_t"] = float(msum["loss_t"]) / nb
+            rec["acc_t"] = accs.get("acc_t", 0.0)
+        history.append(rec)
     return history, init_accs
 
 
@@ -376,48 +499,90 @@ def run_ours(cfg, train_eps, test_bs, n_data: int, init_path: str):
 # the A/B
 # ---------------------------------------------------------------------------
 
+CAV_TINY = (256, 1, 1)   # (audio_length, msd, depth) for the modal3 A/B
+
+
 def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
            n_train: int = 48, n_test: int = 16, batch_size: int = 16,
-           learning_rate: float = 2e-3, seed: int = 7, lorb: str = "base"):
+           learning_rate: float = 2e-3, seed: int = 7, lorb: str = "base",
+           modal3: bool = False, clip: bool = False):
     """One regime end-to-end A/B. regime in {'Normal', 'OGM', 'OGM_GE',
-    'QMF', 'MLA', 'MLA_dynamic'}; lorb in {'base', 'm3ae'} (m3ae = MVSA
-    image-text with depth-1 768-wide encoders both sides — see
-    tiny_ref_m3ae). Returns (ref_history, our_history)."""
+    'QMF', 'MLA', 'MLA_dynamic'}; families: lorb in {'base', 'm3ae',
+    'large'} (m3ae = MVSA image-text with depth-1 768-wide encoders both
+    sides, large = CREMA-D 2x tiny CAV-MAE — see tiny_ref_m3ae), modal3 =
+    the IEMOCAP 3-modality family (CAV-MAE audio at CAV_TINY + 2x depth-1
+    M3AE), clip = Food-101 precomputed features. Returns (ref_history,
+    our_history, ref_init, our_init)."""
     import os
 
     from mla_tpu.core.config import MLAConfig
     from mla_tpu.data import synthetic
 
+    if modal3:
+        lorb = "m3ae"           # the only modal3 composition (config check)
     gs_flag = regime.startswith("MLA")
     common = dict(
         lorb=lorb, train=True,
         modulation="Normal" if (gs_flag or regime == "Normal") else regime,
         gs_flag=gs_flag, dynamic=regime.endswith("dynamic"),
         batch_size=batch_size, epochs=epochs,
-        learning_rate=learning_rate, random_seed=seed, data_root=root,
+        learning_rate=learning_rate, random_seed=seed,
         av_alpha=0.55, compute_dtype="float32",
         ghost_updates=False,        # torch 2.x semantics (module docstring)
         use_tensorboard=False, num_workers=2)
-    if lorb == "m3ae":
-        if not os.path.exists(os.path.join(root, "stat_mvsa.txt")):
+
+    def lists(r, tag):
+        return os.path.exists(os.path.join(r, "lists", f"stat_{tag}.txt"))
+
+    if modal3:
+        if not lists(root, "iemo"):
+            synthetic.make_iemocap(root, n_train=n_train, n_test=n_test,
+                                   seed=1, token_len=64,
+                                   fbank_len=CAV_TINY[0])
+        cfg = MLAConfig(dataset="IEMOCAP", image_size=64, modal3=True,
+                        audio_length=CAV_TINY[0], cav_blocks=CAV_TINY[1:],
+                        data_root=root, **common).validate()
+    elif lorb == "m3ae":
+        if not lists(root, "mvsa"):
             synthetic.make_m3ae(root, dataset="MVSA", n_train=n_train,
                                 n_test=n_test, seed=1, token_len=64)
         # 64px -> 16 image patches; both sides run 768-wide depth-1 encoders
-        cfg = MLAConfig(dataset="MVSA", image_size=64, **common).validate()
+        cfg = MLAConfig(dataset="MVSA", image_size=64, data_root=root,
+                        **common).validate()
+    elif lorb == "large":
+        root = root + "_large"  # CREMA-D audio dir holds fbanks here, not
+        if not lists(root, "cre"):  # spectrograms (shared-dir hazard)
+            synthetic.make_cremad(root, n_train=n_train, n_test=n_test,
+                                  seed=1, fbank=True, fbank_len=CAV_TINY[0])
+        cfg = MLAConfig(dataset="CREMAD", image_size=64,
+                        audio_length=CAV_TINY[0], cav_blocks=CAV_TINY[1:],
+                        data_root=root, **common).validate()
+    elif clip:
+        root = root + "_clip"
+        if not lists(root, "food"):
+            synthetic.make_clip(root, n_train=n_train, n_test=n_test, seed=1)
+        cfg = MLAConfig(dataset="Food101", clip=True, data_root=root,
+                        **common).validate()
     else:
-        if not os.path.exists(os.path.join(root, "stat_cre.txt")):
+        if not lists(root, "cre"):
             synthetic.make_cremad(root, n_train=n_train, n_test=n_test,
                                   spec_shape=(64, 80), learnable=True, seed=1)
-        cfg = MLAConfig(dataset="CREMAD", image_size=32, **common).validate()
+        cfg = MLAConfig(dataset="CREMAD", image_size=32, data_root=root,
+                        **common).validate()
 
     train_eps, test_bs, n_data = capture_batches(cfg, epochs)
-    init_path = os.path.join(workdir, f"init_{lorb}_{regime}.pth")
-    if lorb == "m3ae":
+    tag = f"{lorb}{'3' if modal3 else ''}{'_clip' if clip else ''}"
+    init_path = os.path.join(workdir, f"init_{tag}_{regime}.pth")
+    if lorb in ("m3ae", "large"):
+        cav = (CAV_TINY if modal3
+               else CAV_TINY + (cfg.image_size,) if lorb == "large"
+               else None)
         from mla_tpu.models import m3ae as our_m3ae
         orig = our_m3ae.M3AE_CONFIGS["base"]
-        our_m3ae.M3AE_CONFIGS["base"] = (768, 1, 12, 4)  # match tiny_ref depth
+        if lorb == "m3ae":
+            our_m3ae.M3AE_CONFIGS["base"] = (768, 1, 12, 4)  # tiny_ref depth
         try:
-            with tiny_ref_m3ae(depth=1):
+            with tiny_ref_m3ae(depth=1, cav=cav):
                 ref_hist, ref_init = run_reference(
                     cfg, train_eps, test_bs, av_alpha=0.55,
                     init_path=init_path)
@@ -434,8 +599,8 @@ def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
 
 def trajectory_diffs(ref_hist: List[dict], our_hist: List[dict]):
     """Max abs per-epoch differences for loss keys and acc keys."""
-    dl = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist)
-             for k in ("loss", "loss_a", "loss_v"))
-    da = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist)
-             for k in ("acc", "acc_a", "acc_v"))
+    lk = [k for k in ("loss", "loss_a", "loss_v", "loss_t") if k in ref_hist[0]]
+    ak = [k for k in ("acc", "acc_a", "acc_v", "acc_t") if k in ref_hist[0]]
+    dl = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist) for k in lk)
+    da = max(abs(r[k] - o[k]) for r, o in zip(ref_hist, our_hist) for k in ak)
     return dl, da

@@ -84,6 +84,65 @@ def test_reference_ab_trajectory_m3ae(regime, tmp_path):
     assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
 
 
+MODAL3_REGIMES = {
+    "Normal": (0.02, 0.10, 0.25),
+    "OGM": (0.02, 0.10, 0.25),
+    "QMF": (0.02, 0.10, 0.25),
+    "MLA": (0.02, 0.10, 0.25),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("regime", list(MODAL3_REGIMES))
+def test_reference_ab_trajectory_modal3(regime, tmp_path):
+    """The 3-modality family A/B: IEMOCAP audio+image+text, tiny CAV-MAE
+    audio branch (ab_harness.CAV_TINY) + depth-1 M3AE image/text, the
+    reference's own modal3 branches (main.py:145-151 unpack, 3-History QMF,
+    3-way OGM/eval) vs our jitted steps."""
+    e0_tol, loss_tol, acc_tol = MODAL3_REGIMES[regime]
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=2, modal3=True)
+
+    for k in ("acc", "acc_a", "acc_v", "acc_t"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+
+    for k in ("loss", "loss_a", "loss_v", "loss_t"):
+        assert abs(ref[0][k] - ours[0][k]) <= e0_tol, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= loss_tol, (dl, ref, ours)
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
+
+
+FAMILY_CASES = [
+    # (family, regime): the remaining two classifier families, completing
+    # all five (base CNN, m3ae, modal3, large CAV, clip) through the A/B
+    ("large", "Normal"), ("large", "MLA"),
+    ("clip", "Normal"), ("clip", "MLA"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family,regime", FAMILY_CASES)
+def test_reference_ab_trajectory_family(family, regime, tmp_path):
+    """large = CREMA-D 2x tiny CAV-MAE (the reference's own CAVDataset is
+    unrunnable — returns a 3-tuple where main.py:159 unpacks 4 — so the A/B
+    feeds captured batches directly); clip = Food-101 precomputed features
+    (basic_model.py:278-319)."""
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=2,
+        lorb="large" if family == "large" else "base",
+        clip=family == "clip")
+
+    for k in ("acc", "acc_a", "acc_v"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+
+    for k in ("loss", "loss_a", "loss_v"):
+        assert abs(ref[0][k] - ours[0][k]) <= 0.02, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= 0.10, (dl, ref, ours)
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= 0.25, (ref[-1], ours[-1])
+
+
 @pytest.mark.slow
 def test_reference_m3ae_droppath_crashes_as_shipped():
     """Pins the divergence note in tiny_ref_m3ae: the as-shipped reference
@@ -99,7 +158,7 @@ def test_reference_m3ae_droppath_crashes_as_shipped():
     with tiny_ref_m3ae(depth=1, fix_droppath=False):
         args = argparse.Namespace(dataset="MVSA", modulation="Normal",
                                   fusion_method="concat", gs_flag=True,
-                                  clip="none", modal3=False)
+                                  clip=False, modal3=False)
         _load = torch.load
         torch.load = lambda *a, **k: {}
         try:
