@@ -96,3 +96,21 @@ class TestReferenceCLISurface:
                                 "--no_ghost_updates", "--image_size", "64",
                                 "--data_root", "/tmp/x"])
         assert cfg.gs_rls and not cfg.ghost_updates and cfg.image_size == 64
+
+    def test_cav_knobs(self):
+        cfg = config_from_args(["--dataset", "CREMAD", "--lorb", "large",
+                                "--audio_length", "256",
+                                "--cav_blocks", "1,1"])
+        assert cfg.audio_length == 256 and cfg.cav_blocks == (1, 1)
+        # default = reference (cav_mae.py:117-139)
+        d = config_from_args(["--dataset", "CREMAD", "--lorb", "large"])
+        assert d.audio_length == 1024 and d.cav_blocks == (11, 12)
+        # patches_a must land on the 8-row sin-cos grid
+        with pytest.raises(ValueError, match="audio_length"):
+            config_from_args(["--dataset", "CREMAD", "--lorb", "large",
+                              "--audio_length", "100"])
+        # msd <= depth, exactly two entries
+        for bad in ("3,1", "1", "1,2,3"):
+            with pytest.raises(ValueError, match="cav_blocks"):
+                config_from_args(["--dataset", "CREMAD", "--lorb", "large",
+                                  "--cav_blocks", bad])

@@ -61,6 +61,7 @@ M3AE_REGIMES = {
     "Normal": (0.02, 0.10, 0.25),
     "QMF": (0.02, 0.10, 0.25),
     "MLA": (0.02, 0.10, 0.25),
+    "MLA_dynamic": (0.02, 0.10, 0.25),   # entropy-gated fused eval
 }
 
 
@@ -89,6 +90,7 @@ MODAL3_REGIMES = {
     "OGM": (0.02, 0.10, 0.25),
     "QMF": (0.02, 0.10, 0.25),
     "MLA": (0.02, 0.10, 0.25),
+    "MLA_dynamic": (0.02, 0.10, 0.25),   # calculate_gating_weights3 eval
 }
 
 
@@ -141,6 +143,20 @@ def test_reference_ab_trajectory_family(family, regime, tmp_path):
     dl, _ = trajectory_diffs(ref, ours)
     assert dl <= 0.10, (dl, ref, ours)
     assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= 0.25, (ref[-1], ours[-1])
+
+
+@pytest.mark.slow
+def test_reference_large_qmf_crashes_as_shipped(tmp_path):
+    """Pins PARITY divergence #4's crash claim: the reference routes
+    large+QMF past the QMF forward (branch order, main.py:166-170) but then
+    never assigns ``loss``/``out_a`` (main.py:290-294), so train_epoch dies
+    with UnboundLocalError on the first batch. Our joint-path dispatch is
+    the repair, not a silent behavior change."""
+    from ab_harness import run_ab
+
+    with pytest.raises(NameError):      # UnboundLocalError subclasses it
+        run_ab("QMF", str(tmp_path / "d"), str(tmp_path), epochs=1,
+               lorb="large")
 
 
 @pytest.mark.slow
