@@ -59,6 +59,10 @@ M3AE_REGIMES = {
     # transformer trajectories drift less than the BN-heavy CNN ones (no
     # invstd amplifier); bands set ~4x above measured drift
     "Normal": (0.02, 0.10, 0.25),
+    # OGM is a no-op for 2-modal m3ae: the coefficient filter matches
+    # 'audio'/'visual' param-name substrings, and mae_*/fusion params carry
+    # neither — measured trajectory == Normal EXACTLY on both sides
+    "OGM": (0.02, 0.10, 0.25),
     "QMF": (0.02, 0.10, 0.25),
     "MLA": (0.02, 0.10, 0.25),
     "MLA_dynamic": (0.02, 0.10, 0.25),   # entropy-gated fused eval
@@ -118,7 +122,7 @@ def test_reference_ab_trajectory_modal3(regime, tmp_path):
 FAMILY_CASES = [
     # (family, regime): the remaining two classifier families, completing
     # all five (base CNN, m3ae, modal3, large CAV, clip) through the A/B
-    ("large", "Normal"), ("large", "MLA"),
+    ("large", "Normal"), ("large", "OGM"), ("large", "MLA"),
     ("clip", "Normal"), ("clip", "MLA"),
 ]
 
