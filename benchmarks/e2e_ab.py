@@ -49,6 +49,9 @@ def main():
     summary = []
     for regime in regimes:
         fam, _, r_name = regime.rpartition(":")
+        if fam not in ("", "m3ae", "large", "modal3", "clip"):
+            raise SystemExit(f"unknown family prefix {fam!r} in {regime!r} "
+                             "(use m3ae:/large:/modal3:/clip: or none)")
         ref, ours, ri, oi = run_ab(
             r_name, root, td, epochs=epochs, n_train=n_train,
             lorb=fam if fam in ("m3ae", "large") else "base",

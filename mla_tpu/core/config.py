@@ -270,9 +270,10 @@ class MLAConfig:
             # the 3-modal adapter and KeyError deep in state init
             raise ValueError("--modal3 requires --lorb m3ae "
                              "(basic_model.py:202-275 Modal3 composition)")
-        if self.m3ae_size not in ("small", "base", "large", "huge", "debug"):
-            raise ValueError("--m3ae_size must be one of small/base/large/"
-                             f"huge/debug, got {self.m3ae_size}")
+        if self.m3ae_size not in ("small", "base", "base1", "large", "huge",
+                                  "debug"):
+            raise ValueError("--m3ae_size must be one of small/base/base1/"
+                             f"large/huge/debug, got {self.m3ae_size}")
         if self.scan_unroll < 1:
             raise ValueError("--scan_unroll must be >= 1")
         if self.scan_unroll > 1 and not self.scan_blocks:
@@ -393,9 +394,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence parallelism over the model axis "
                         "(requires --mesh_shape d,m with m>1)")
     p.add_argument("--m3ae_size", default=d.m3ae_size, type=str,
-                   choices=["small", "base", "large", "huge", "debug"],
-                   help="M3AE encoder size config (m3ae.py:226-268); "
-                        "large/huge pair with --scan_blocks/--pp_microbatches")
+                   choices=["small", "base", "base1", "large", "huge",
+                            "debug"],
+                   help="M3AE encoder size config (m3ae.py:226-268; base1 = "
+                        "base width at depth 1, a CI knob); large/huge pair "
+                        "with --scan_blocks/--pp_microbatches")
     p.add_argument("--scan_blocks", action="store_true",
                    help="lax.scan the M3AE transformer blocks: ~20x faster "
                         "cold compiles at ~1.5x step time (dev/CI knob; "

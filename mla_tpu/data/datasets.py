@@ -212,15 +212,13 @@ class CAVAdapter:
             samples = [self.sample_host(i, r) for i, r in zip(indices, rngs)]
             return stack_samples(samples)
         names = [self.index.names[i] for i in indices]
-        if not hasattr(self, "_fbank_shape"):
-            # probe instead of hardcoding (1024, 128): the C++ reader
-            # cut-and-pads to the requested shape, which would silently
-            # zero-extend short fixtures (--audio_length CI runs)
-            self._fbank_shape = np.load(os.path.join(
-                self.index.dir("audio"), names[0] + ".npy")).shape
+        # the model is built for cfg.audio_length, so request exactly that:
+        # the C++ reader cut-and-pads nonconforming files (the same law
+        # extract-fbank applies at ETL time), deterministically — a disk
+        # probe would depend on which file the shuffle order hits first
         fbank = nl.load_npy_batch(
             [os.path.join(self.index.dir("audio"), n + ".npy") for n in names],
-            tuple(self._fbank_shape))
+            (self.cfg.audio_length, 128))
         paths = []
         for n in names:
             vdir = os.path.join(self.index.dir("visual"), n)
@@ -465,12 +463,11 @@ class Modal3Adapter(M3AEAdapter):
         from mla_tpu.data import native_loader as nl
         adir = self.index.dir("audio")
         names = [self.index.names[i] for i in indices]
-        if not hasattr(self, "_fbank_shape"):
-            self._fbank_shape = np.load(
-                os.path.join(adir, names[0] + ".npy")).shape
+        # deterministic shape from the config the model is built with (see
+        # CAVAdapter.batch_host), not a shuffle-order-dependent disk probe
         fbank = nl.load_npy_batch(
             [os.path.join(adir, n + ".npy") for n in names],
-            tuple(self._fbank_shape))
+            (self.cfg.audio_length, 128))
         keep = self.maskmatrix[np.asarray(indices)]   # (B, 3) 0/1
         hb["fbank"] = fbank * keep[:, 0].reshape(-1, *([1] * (fbank.ndim - 1)))
         hb["image_u8"] = hb["image_u8"] * keep[:, 1].reshape(

@@ -34,6 +34,9 @@ Dtype = Any
 M3AE_CONFIGS = {
     "small": (384, 12, 6, 4),
     "base": (768, 12, 12, 4),
+    "base1": (768, 1, 12, 4),    # CI knob: base width (the head widths the
+                                 # reference hardcodes) at depth 1 — used by
+                                 # the E2E A/B vs the torch reference
     "large": (1024, 24, 16, 4),
     "huge": (1280, 32, 16, 4),
     "debug": (1024, 2, 16, 4),

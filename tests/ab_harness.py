@@ -208,68 +208,51 @@ def capture_batches(cfg, epochs: int):
     return train_eps, test_bs, len(train_adapter)
 
 
-def to_torch_base(batch: Dict[str, np.ndarray]):
-    """Our AV batch dict -> the (spec, image, label, idx) tuple the reference
-    unpacks for the non-m3ae path (main.py:159-162). Padded rows dropped —
-    the reference takes ragged final batches."""
+def _to_torch(batch: Dict[str, np.ndarray], *fields):
+    """Shared converter core: padded rows dropped (valid mask) — the
+    reference takes ragged final batches; trailing (label, idx) appended,
+    idx as a column vector (History indexing). fields = (key, kind) with
+    kind 'f' float / 'l' long / 'f0' float taking channel 0."""
     import torch
     n = int(batch["valid"].sum())
-    spec = torch.from_numpy(batch["spec"][:n, 0]).float()
-    image = torch.from_numpy(batch["image"][:n]).float()
-    label = torch.from_numpy(batch["label"][:n]).long()
-    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
-    return (spec, image, label, idx)
+    out = []
+    for key, kind in fields + (("label", "l"), ("idx", "l")):
+        a = batch[key][:n, 0] if kind == "f0" else batch[key][:n]
+        t = torch.from_numpy(a)
+        out.append(t.long() if kind == "l" else t.float())
+    out[-1] = out[-1].reshape(-1, 1)
+    return tuple(out)
 
 
-def to_torch_m3ae(batch: Dict[str, np.ndarray]):
-    """Our M3AE batch dict -> the (token, padding_mask, image, label, idx)
-    tuple the reference's m3ae branch unpacks (main.py:153-157)."""
-    import torch
-    n = int(batch["valid"].sum())
-    token = torch.from_numpy(batch["token"][:n]).long()
-    pm = torch.from_numpy(batch["padding_mask"][:n]).float()
-    image = torch.from_numpy(batch["image"][:n]).float()
-    label = torch.from_numpy(batch["label"][:n]).long()
-    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
-    return (token, pm, image, label, idx)
+def to_torch_base(batch):
+    """-> (spec, image, label, idx), the non-m3ae unpack (main.py:159-162)."""
+    return _to_torch(batch, ("spec", "f0"), ("image", "f"))
 
 
-def to_torch_large(batch: Dict[str, np.ndarray]):
-    """Our CAV batch dict -> (spec=fbank, image, label, idx) for the
-    reference's lorb=large branch (main.py:159-162,166-168)."""
-    import torch
-    n = int(batch["valid"].sum())
-    spec = torch.from_numpy(batch["fbank"][:n]).float()
-    image = torch.from_numpy(batch["image"][:n]).float()
-    label = torch.from_numpy(batch["label"][:n]).long()
-    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
-    return (spec, image, label, idx)
+def to_torch_m3ae(batch):
+    """-> (token, padding_mask, image, label, idx), the m3ae unpack
+    (main.py:153-157)."""
+    return _to_torch(batch, ("token", "l"), ("padding_mask", "f"),
+                     ("image", "f"))
 
 
-def to_torch_clip(batch: Dict[str, np.ndarray]):
-    """Our CLIP batch dict -> (spec=token_feat, image=image_feat, label, idx)
-    for the reference's clip branch (main.py:159-162,270-273)."""
-    import torch
-    n = int(batch["valid"].sum())
-    spec = torch.from_numpy(batch["token_feat"][:n]).float()
-    image = torch.from_numpy(batch["image_feat"][:n]).float()
-    label = torch.from_numpy(batch["label"][:n]).long()
-    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
-    return (spec, image, label, idx)
+def to_torch_large(batch):
+    """-> (spec=fbank, image, label, idx) for lorb=large
+    (main.py:159-162,166-168)."""
+    return _to_torch(batch, ("fbank", "f"), ("image", "f"))
 
 
-def to_torch_modal3(batch: Dict[str, np.ndarray]):
-    """Our Modal3 batch dict -> the (token, padding_mask, image, spec, label,
-    idx) tuple the reference's modal3 branch unpacks (main.py:145-151)."""
-    import torch
-    n = int(batch["valid"].sum())
-    token = torch.from_numpy(batch["token"][:n]).long()
-    pm = torch.from_numpy(batch["padding_mask"][:n]).float()
-    image = torch.from_numpy(batch["image"][:n]).float()
-    spec = torch.from_numpy(batch["fbank"][:n]).float()
-    label = torch.from_numpy(batch["label"][:n]).long()
-    idx = torch.from_numpy(batch["idx"][:n]).long().reshape(-1, 1)
-    return (token, pm, image, spec, label, idx)
+def to_torch_clip(batch):
+    """-> (spec=token_feat, image=image_feat, label, idx) for the clip
+    branch (main.py:159-162,270-273)."""
+    return _to_torch(batch, ("token_feat", "f"), ("image_feat", "f"))
+
+
+def to_torch_modal3(batch):
+    """-> (token, padding_mask, image, spec=fbank, label, idx), the modal3
+    unpack (main.py:145-151)."""
+    return _to_torch(batch, ("token", "l"), ("padding_mask", "f"),
+                     ("image", "f"), ("fbank", "f"))
 
 
 @contextlib.contextmanager
@@ -540,6 +523,7 @@ def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
                                    seed=1, token_len=64,
                                    fbank_len=CAV_TINY[0])
         cfg = MLAConfig(dataset="IEMOCAP", image_size=64, modal3=True,
+                        m3ae_size="base1",       # == tiny_ref depth-1 768
                         audio_length=CAV_TINY[0], cav_blocks=CAV_TINY[1:],
                         data_root=root, **common).validate()
     elif lorb == "m3ae":
@@ -547,8 +531,8 @@ def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
             synthetic.make_m3ae(root, dataset="MVSA", n_train=n_train,
                                 n_test=n_test, seed=1, token_len=64)
         # 64px -> 16 image patches; both sides run 768-wide depth-1 encoders
-        cfg = MLAConfig(dataset="MVSA", image_size=64, data_root=root,
-                        **common).validate()
+        cfg = MLAConfig(dataset="MVSA", image_size=64, m3ae_size="base1",
+                        data_root=root, **common).validate()
     elif lorb == "large":
         root = root + "_large"  # CREMA-D audio dir holds fbanks here, not
         if not lists(root, "cre"):  # spectrograms (shared-dir hazard)
@@ -574,22 +558,17 @@ def run_ab(regime: str, root: str, workdir: str, epochs: int = 3,
     tag = f"{lorb}{'3' if modal3 else ''}{'_clip' if clip else ''}"
     init_path = os.path.join(workdir, f"init_{tag}_{regime}.pth")
     if lorb in ("m3ae", "large"):
+        # our side's tiny sizes come from cfg (m3ae_size=base1, cav_blocks);
+        # the reference side gets the equivalent via tiny_ref_m3ae patches
         cav = (CAV_TINY if modal3
                else CAV_TINY + (cfg.image_size,) if lorb == "large"
                else None)
-        from mla_tpu.models import m3ae as our_m3ae
-        orig = our_m3ae.M3AE_CONFIGS["base"]
-        if lorb == "m3ae":
-            our_m3ae.M3AE_CONFIGS["base"] = (768, 1, 12, 4)  # tiny_ref depth
-        try:
-            with tiny_ref_m3ae(depth=1, cav=cav):
-                ref_hist, ref_init = run_reference(
-                    cfg, train_eps, test_bs, av_alpha=0.55,
-                    init_path=init_path)
-            our_hist, our_init = run_ours(cfg, train_eps, test_bs, n_data,
-                                          init_path)
-        finally:
-            our_m3ae.M3AE_CONFIGS["base"] = orig
+        with tiny_ref_m3ae(depth=1, cav=cav):
+            ref_hist, ref_init = run_reference(cfg, train_eps, test_bs,
+                                               av_alpha=0.55,
+                                               init_path=init_path)
+        our_hist, our_init = run_ours(cfg, train_eps, test_bs, n_data,
+                                      init_path)
         return ref_hist, our_hist, ref_init, our_init
     ref_hist, ref_init = run_reference(cfg, train_eps, test_bs, av_alpha=0.55,
                                        init_path=init_path)

@@ -156,8 +156,6 @@ def test_reference_large_qmf_crashes_as_shipped(tmp_path):
     never assigns ``loss``/``out_a`` (main.py:290-294), so train_epoch dies
     with UnboundLocalError on the first batch. Our joint-path dispatch is
     the repair, not a silent behavior change."""
-    from ab_harness import run_ab
-
     with pytest.raises(NameError):      # UnboundLocalError subclasses it
         run_ab("QMF", str(tmp_path / "d"), str(tmp_path), epochs=1,
                lorb="large")
