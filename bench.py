@@ -157,7 +157,7 @@ def main():
                  f"host CPU ({os.cpu_count()} core(s); no CUDA in image — NOT "
                  "the reference's GPU envelope, see BASELINE.md); step_time_s="
                  f"{step_time:.4f}; batch=64 (reference parity; batch 128 "
-                 "measures 1272 clips/s — BASELINE.md roofline section)"
+                 "measures 1662 clips/s — BASELINE.md roofline section)"
                  + (f"; baseline_err={err}" if err else "")),
     }))
 
