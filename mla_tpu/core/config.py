@@ -148,6 +148,13 @@ class MLAConfig:
                                      # encoder configs (m3ae.py:226-268).
     pp_remat: bool = False           # rematerialize each block in the PP
                                      # backward (GPipe memory/FLOP trade)
+    fsdp: bool = False               # ZeRO-3: shard params + optimizer
+                                     # moments over the mesh 'data' axis
+                                     # (parallel/fsdp.py); each chip stores
+                                     # 1/d of the state, XLA all-gathers
+                                     # weights per use and reduce-scatters
+                                     # grads. Composes with a TP model axis;
+                                     # incompatible with --pp_microbatches
     log_every: int = 50
     masked_bn: bool = False          # exact partial-batch BN statistics
                                      # (MaskedBatchNorm); ~10% step-time cost,
@@ -310,6 +317,14 @@ class MLAConfig:
                              "--pp_microbatches (the pipeline schedule is a "
                              "manual shard_map; use one or the other on the "
                              "model axis)")
+        if self.fsdp and self.pp_microbatches:
+            # pp.shard_state_train owns the stacked-block layout (stage
+            # sharding over 'model'); FSDP re-sharding the same leaves over
+            # 'data' would fight the manual pipeline shard_map
+            raise ValueError("--fsdp is incompatible with --pp_microbatches "
+                             "(the pipeline stage-shards the block stacks "
+                             "itself; use FSDP or PP for the big configs, "
+                             "not both)")
         return self
 
     def replace(self, **kw) -> "MLAConfig":
@@ -415,6 +430,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "model axis (needs --scan_blocks + --mesh_shape d,m)")
     p.add_argument("--pp_remat", action="store_true",
                    help="rematerialize each block in the PP backward")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + optimizer state over the "
+                        "mesh data axis (1/d state per chip; XLA gathers "
+                        "weights per use, reduce-scatters grads)")
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")

@@ -134,9 +134,10 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             cfg.ckpt_load_path_train, state.params))
         print("Trained model loaded!")
     # Parallel layout over the (data, model) mesh: PP stage-shards the
-    # stacked blocks (parallel/pp.py), else TP column/row-shards the
-    # transformer kernels (parallel/tp.py); both degenerate to the plain DP
-    # replicate when the model axis is 1.
+    # stacked blocks (parallel/pp.py); --fsdp ZeRO-shards params+moments
+    # over the data axis (parallel/fsdp.py, composing with TP); else TP
+    # column/row-shards the transformer kernels (parallel/tp.py). All
+    # degenerate to the plain DP replicate on a 1-device mesh.
     pp_on = False
     if cfg.pp_microbatches:
         from mla_tpu.parallel import pp as pp_lib
@@ -147,6 +148,12 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     if pp_on:
         from mla_tpu.parallel import pp as pp_lib
         place_state = lambda s: pp_lib.shard_state_train(mesh, s)  # noqa: E731
+    elif cfg.fsdp:
+        # ZeRO-3: params + optimizer moments live 1/d-sharded over the data
+        # axis (parallel/fsdp.py); subsumes the TP rules when the mesh also
+        # has a model axis > 1
+        from mla_tpu.parallel import fsdp as fsdp_lib
+        place_state = lambda s: fsdp_lib.shard_state(mesh, s)      # noqa: E731
     else:
         place_state = lambda s: shard_state(mesh, s)               # noqa: E731
     state = place_state(state)

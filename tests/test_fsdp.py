@@ -1,0 +1,166 @@
+"""FSDP / ZeRO-3 (parallel/fsdp.py): params + optimizer moments sharded over
+the mesh 'data' axis must give the same step as single-device, with the big
+leaves actually living 1/d-sharded (beyond the reference's replicated
+DataParallel, main.py:732)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mla_tpu.core.config import MLAConfig
+from mla_tpu.parallel import fsdp
+from mla_tpu.parallel.mesh import make_mesh
+from mla_tpu.train import optim, steps
+from mla_tpu.train.state import create_train_state
+
+
+class TestLeafRules:
+    def test_param_and_moment_leaves_shard_widest_dim(self):
+        mesh = make_mesh(mesh_shape=(8, 1))
+        big = jnp.zeros((512, 768))          # both divisible -> dim 0 (widest... equal? 768 > 512 -> dim 1)
+        fake = {"params": {"enc": {"fc1": {"kernel": jnp.zeros((768, 3072)),
+                                           "bias": jnp.zeros((3072,))},
+                                   "emb": {"embedding": jnp.zeros((30522, 768))}}},
+                "opt_state": {"momentum": {"enc": {"fc1": {
+                    "kernel": jnp.zeros((768, 3072))}}}},
+                "batch_stats": {"bn": {"mean": jnp.zeros((512,))}},
+                "rng": jax.random.key(0),
+                "step": jnp.zeros((), jnp.int32)}
+        sh = fsdp.state_shardings(mesh, fake)
+        # widest divisible dim carries 'data'
+        assert sh["params"]["enc"]["fc1"]["kernel"].spec == P(None, "data")
+        # optimizer moments mirror the param sharding
+        assert (sh["opt_state"]["momentum"]["enc"]["fc1"]["kernel"].spec
+                == P(None, "data"))
+        # 30522 % 8 != 0 -> falls back to the next widest divisible dim
+        assert sh["params"]["enc"]["emb"]["embedding"].spec == P(None, "data")
+        # small leaves (3072 elems < MIN_SHARD_ELEMS) replicate
+        assert sh["params"]["enc"]["fc1"]["bias"].spec == P()
+        # non-param state replicates regardless of size
+        assert sh["batch_stats"]["bn"]["mean"].spec == P()
+        assert sh["step"].spec == P()
+        del big
+
+    def test_composes_with_tp(self):
+        """On a (4, 2) mesh the TP rule claims its dim first; FSDP takes the
+        widest remaining one — the 2-D (fsdp, tp) layout."""
+        mesh = make_mesh(mesh_shape=(4, 2))
+        fake = {"params": {"blk": {
+            "attn": {"qkv": {"kernel": jnp.zeros((768, 2304))},
+                     "proj": {"kernel": jnp.zeros((768, 768))}},
+            "mlp": {"fc2": {"kernel": jnp.zeros((3072, 768))}}}}}
+        sh = fsdp.state_shardings(mesh, fake)
+        blk = sh["params"]["blk"]
+        assert blk["attn"]["qkv"]["kernel"].spec == P("data", "model")
+        assert blk["attn"]["proj"]["kernel"].spec == P("model", "data")
+        assert blk["mlp"]["fc2"]["kernel"].spec == P("model", "data")
+
+    def test_indivisible_replicates_never_errors(self):
+        mesh = make_mesh(mesh_shape=(8, 1))
+        fake = {"params": {"odd": {"kernel": jnp.zeros((257, 513))}}}
+        sh = fsdp.state_shardings(mesh, fake)
+        assert sh["params"]["odd"]["kernel"].spec == P()
+
+    def test_config_rejects_fsdp_with_pp(self):
+        with pytest.raises(ValueError, match="fsdp.*pp_microbatches"):
+            MLAConfig(dataset="MVSA", lorb="m3ae", gs_flag=True,
+                      scan_blocks=True, fsdp=True, pp_microbatches=2,
+                      mesh_shape=(4, 2), train=True).validate()
+
+
+def _av_batch(rng, b=16):
+    return {"spec": jnp.asarray(rng.standard_normal((b, 1, 64, 80)),
+                                jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 3, 32, 32)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 6, b), jnp.int32),
+            "idx": jnp.arange(b, dtype=jnp.int32),
+            "valid": jnp.ones((b,), jnp.float32)}
+
+
+class TestFSDPStep:
+    def test_av_mla_step_matches_single_device(self):
+        """CREMA-D MLA step on an 8-way FSDP mesh == single-device, with the
+        big conv kernels + momentum living sharded and STAYING sharded
+        through the donated update."""
+        from mla_tpu.models.classifiers import AVClassifier
+        cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
+                        train=True).validate()
+        model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        batch = _av_batch(rng)
+        spec = optim.make_spec(cfg)
+        state0 = create_train_state(model, cfg, batch, spec)
+        step_fn = steps.make_train_step(model, cfg, spec, len_dl=4)
+
+        s1, m1 = jax.jit(step_fn)(state0, batch, jnp.float32(1e-3),
+                                  jnp.int32(1), jnp.int32(0))
+
+        mesh = make_mesh(mesh_shape=(8, 1))
+        state_f = fsdp.shard_state(mesh, state0)
+        # a big conv kernel really lives 1/8-sharded
+        kern = state_f.params["audio_net"]["layer4_0"]["conv1"]["kernel"]
+        shard_dims = [i for i, a in enumerate(kern.sharding.spec)
+                      if a == "data"]
+        assert shard_dims, kern.sharding.spec
+        d = shard_dims[0]
+        assert (kern.addressable_shards[0].data.shape[d]
+                == kern.shape[d] // 8)
+        # ...and so does its momentum buffer
+        mom = state_f.opt_state["momentum"]["audio_net"]["layer4_0"][
+            "conv1"]["kernel"]
+        assert mom.sharding.spec == kern.sharding.spec
+
+        batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                   for k, v in batch.items()}
+        step_j = jax.jit(step_fn, donate_argnums=0)
+        s2, m2 = step_j(state_f, batch_s, jnp.float32(1e-3),
+                        jnp.int32(1), jnp.int32(0))
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+        # the update preserved the FSDP placement (donation-compatible)
+        kern2 = s2.params["audio_net"]["layer4_0"]["conv1"]["kernel"]
+        assert kern2.sharding.spec == kern.sharding.spec
+
+    @pytest.mark.slow
+    def test_m3ae_fsdp_tp_step_matches_single_device(self):
+        """2-D (fsdp=4, tp=2): the m3ae MLA step with ZeRO + Megatron
+        shardings == single-device."""
+        from mla_tpu.models.classifiers import M3AEClassifier
+        cfg = MLAConfig(dataset="MVSA", lorb="m3ae", gs_flag=True,
+                        train=True).validate()
+        model = M3AEClassifier(n_classes=3, gs_flag=True,
+                               model_type="debug", text_vocab_size=1024,
+                               dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        batch = {"token": jnp.asarray(rng.integers(0, 1000, (8, 16)),
+                                      jnp.int32),
+                 "padding_mask": jnp.zeros((8, 16), jnp.float32)
+                     .at[:, 12:].set(1.0),
+                 "image": jnp.asarray(rng.standard_normal((8, 3, 32, 32)),
+                                      jnp.float32),
+                 "label": jnp.asarray(rng.integers(0, 3, 8), jnp.int32),
+                 "idx": jnp.arange(8, dtype=jnp.int32),
+                 "valid": jnp.ones((8,), jnp.float32)}
+        spec = optim.make_spec(cfg)
+        state0 = create_train_state(model, cfg, batch, spec)
+        step_fn = steps.make_train_step(model, cfg, spec, len_dl=4)
+        s1, m1 = jax.jit(step_fn)(state0, batch, jnp.float32(1e-3),
+                                  jnp.int32(1), jnp.int32(0))
+
+        mesh = make_mesh(mesh_shape=(4, 2))
+        state_f = fsdp.shard_state(mesh, state0)
+        batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                   for k, v in batch.items()}
+        s2, m2 = jax.jit(step_fn, donate_argnums=0)(
+            state_f, batch_s, jnp.float32(1e-3), jnp.int32(1), jnp.int32(0))
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
