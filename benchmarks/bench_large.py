@@ -4,7 +4,12 @@ The reference defines large/huge encoder configs (m3ae.py:226-268) but only
 ever constructs base; --m3ae_size makes them trainable here. Single chip:
 --scan_blocks keeps the 24-deep stack's HLO (and compile time) small; batch
 is sized to HBM. Usage:
-PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py [batch] [size] [remat]
+PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py \
+    [batch] [size] [remat] [accumK]
+
+`accumK` (e.g. accum8) turns on --grad_accum K: K scanned microbatches per
+update, ~K-fold less activation memory — the alternative/complement to remat
+for fitting bigger effective batches on one chip.
 
 Chained-protocol timing (donated state threads step N's output into N+1,
 one trailing host read — BASELINE.md measurement notes).
@@ -30,7 +35,9 @@ from mla_tpu.train.state import create_train_state  # noqa: E402
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     size = sys.argv[2] if len(sys.argv) > 2 else "large"
-    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    extra = sys.argv[3:]
+    remat = "remat" in extra
+    accum = next((int(a[5:]) for a in extra if a.startswith("accum")), 1)
     rng = np.random.default_rng(0)
     batch = {
         "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
@@ -42,7 +49,7 @@ def main():
         "valid": jnp.ones((B,), jnp.float32)}
     cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
                     m3ae_size=size, scan_blocks=True, remat_blocks=remat,
-                    train=True).validate()
+                    grad_accum=accum, batch_size=B, train=True).validate()
     model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=size,
                            scan_blocks=True, remat_blocks=remat,
                            dtype=jnp.bfloat16)
@@ -73,7 +80,7 @@ def main():
 
     out = {
         "device": jax.devices()[0].device_kind, "size": size, "batch": B,
-        "remat": remat,
+        "remat": remat, "grad_accum": accum,
         "params_m": round(n_params / 1e6, 1),
         "step_ms": round(dt * 1e3, 1),
         "clips_per_sec": round(B / dt, 1),

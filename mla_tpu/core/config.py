@@ -155,6 +155,19 @@ class MLAConfig:
                                      # weights per use and reduce-scatters
                                      # grads. Composes with a TP model axis;
                                      # incompatible with --pp_microbatches
+    grad_accum: int = 1              # gradient accumulation: split each batch
+                                     # into this many sequential microbatches
+                                     # inside the jitted step (lax.scan),
+                                     # accumulate grads, ONE optimizer update.
+                                     # Activation memory drops ~k-fold — the
+                                     # single-chip batch lever for the large/
+                                     # huge M3AE configs. Exactly equivalent
+                                     # to the full-batch step for LN-only
+                                     # families (m3ae/large/modal3/clip,
+                                     # tested); BN families get torch-style
+                                     # sequential microbatch statistics.
+                                     # Incompatible with QMF's pairwise
+                                     # batch-wide rank loss.
     log_every: int = 50
     masked_bn: bool = False          # exact partial-batch BN statistics
                                      # (MaskedBatchNorm); ~10% step-time cost,
@@ -325,6 +338,23 @@ class MLAConfig:
                              "(the pipeline stage-shards the block stacks "
                              "itself; use FSDP or PP for the big configs, "
                              "not both)")
+        if self.grad_accum < 1:
+            raise ValueError("--grad_accum must be >= 1, got "
+                             f"{self.grad_accum}")
+        if self.grad_accum > 1:
+            if self.batch_size % self.grad_accum:
+                raise ValueError("--grad_accum must divide --batch_size "
+                                 f"({self.batch_size} % {self.grad_accum} "
+                                 "!= 0)")
+            if (self.modulation == "QMF" and not self.gs_flag
+                    and self.lorb != "large"):
+                # the QMF margin-rank loss compares confidence PAIRS across
+                # the whole batch (main.py:108-125) — its gradient does not
+                # decompose over microbatches, so accumulation would silently
+                # change the objective
+                raise ValueError("--grad_accum is incompatible with the QMF "
+                                 "regime (batch-wide pairwise rank loss); "
+                                 "use it with Normal/OGM/MLA")
         return self
 
     def replace(self, **kw) -> "MLAConfig":
@@ -434,6 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ZeRO-3: shard params + optimizer state over the "
                         "mesh data axis (1/d state per chip; XLA gathers "
                         "weights per use, reduce-scatters grads)")
+    p.add_argument("--grad_accum", default=d.grad_accum, type=int,
+                   help="accumulate gradients over this many sequential "
+                        "microbatches per step (one optimizer update; "
+                        "~k-fold activation-memory saving for large/huge)")
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")

@@ -60,6 +60,48 @@ def _set(tree, path, value):
 HEAD_KERNEL_PATH = ("fusion_module", "fc_out", "kernel")
 
 
+def _microbatches(batch, k: int):
+    """Contiguous reshape of every leaf (b, ...) -> (k, b//k, ...) for
+    lax.scan gradient accumulation (--grad_accum). The split preserves row
+    order, so reshaping per-microbatch outputs back to (b, ...) reproduces
+    the full-batch arrays exactly — which is what lets GS (full-batch feature
+    mean) and OGM (full-batch score coefficients) run on the reassembled
+    tensors with unchanged semantics."""
+    def split(x):
+        if x.shape[0] % k:
+            raise ValueError(f"--grad_accum {k} does not divide the batch "
+                             f"dimension {x.shape[0]}")
+        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+    return jax.tree_util.tree_map(split, batch)
+
+
+def _accum_grads(mb_loss, params, mbs, bs):
+    """Scan `mb_loss(params, microbatch, batch_stats) -> (loss, (aux, bs))`
+    over the leading microbatch axis, summing gradients and losses into ONE
+    update's worth. Each microbatch loss is normalised by the FULL batch's
+    valid count (the caller builds that into mb_loss), so the summed gradient
+    equals the full-batch gradient bit-for-bit up to fp addition order.
+    Activation memory is one microbatch's worth — the --grad_accum lever for
+    the large/huge configs. BN stats thread sequentially (torch-style
+    accumulation semantics). Returns (grads, loss, bs, stacked_aux)."""
+    def body(carry, mb):
+        g_acc, bs_c, l_acc = carry
+        (l, (aux, bs_n)), g = jax.value_and_grad(
+            mb_loss, has_aux=True)(params, mb, bs_c)
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        return (g_acc, bs_n, l_acc + l), aux
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (grads, bs, loss), aux_k = jax.lax.scan(
+        body, (zeros, bs, jnp.float32(0.0)), mbs)
+    return grads, loss, bs, aux_k
+
+
+def _unsplit(x):
+    """(k, mb, ...) -> (b, ...): inverse of _microbatches on stacked aux."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
 def sliced_modality_logits(feats: Dict[str, jnp.ndarray], fusion_params,
                            fusion_method: str, modal3: bool,
                            bias_div: bool):
@@ -109,6 +151,7 @@ def _apply_encode_head(model, params, batch_stats, batch, modality):
 
 def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
     modalities = modalities_of(cfg)
+    k = getattr(cfg, "grad_accum", 1)
 
     def step(state: TrainState, batch, lr, batch_index, epoch=0):
         del epoch
@@ -116,15 +159,32 @@ def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
                                state.opt_state, state.gs)
         valid = batch["valid"]
         label = batch["label"]
+        n_total = jnp.maximum(jnp.sum(valid), 1.0)
+        mbs = _microbatches(batch, k) if k > 1 else None
         losses = {}
         stepped = []
         for m in modalities:  # static unroll (heterogeneous encoders)
-            def loss_fn(p, bs=bs, m=m):
-                logits, feat, new_bs = _apply_encode_head(model, p, bs, batch, m)
-                return masked_ce(logits, label, valid), (feat, new_bs)
+            if k > 1:
+                # --grad_accum: per-microbatch losses normalised by the full
+                # batch's valid count sum to the full-batch masked_ce, so the
+                # accumulated grad equals the one-shot grad (fp order aside)
+                def mb_loss(p, mb, bs_c, m=m):
+                    logits, feat, new_bs = _apply_encode_head(
+                        model, p, bs_c, mb, m)
+                    nll = ce_per_sample(logits, mb["label"])
+                    return jnp.sum(nll * mb["valid"]) / n_total, (feat, new_bs)
 
-            (loss, (feat, bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+                grads, loss, bs, feats_k = _accum_grads(mb_loss, params,
+                                                        mbs, bs)
+                feat = _unsplit(feats_k)  # full-batch features for GS
+            else:
+                def loss_fn(p, bs=bs, m=m):
+                    logits, feat, new_bs = _apply_encode_head(model, p, bs,
+                                                              batch, m)
+                    return masked_ce(logits, label, valid), (feat, new_bs)
+
+                (loss, (feat, bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             # GS plugin on the shared-head kernel grad (main.py:437,449,461)
             head_grad = _get(grads, HEAD_KERNEL_PATH)
             gs, head_grad = gs_before_update(gs, feat, head_grad, batch_index,
@@ -219,29 +279,46 @@ def _modulate_grads(grads, coeffs, rng, use_ge: bool, active, modal3: bool):
 def make_joint_train_step(model, cfg, spec: optim.OptimizerSpec):
     use_ogm = cfg.modulation in ("OGM", "OGM_GE")
     use_ge = cfg.modulation == "OGM_GE"
+    k = getattr(cfg, "grad_accum", 1)
 
     def step(state: TrainState, batch, lr, batch_index, epoch=0):
         del batch_index
         valid, label = batch["valid"], batch["label"]
         bs = state.batch_stats
+        n_total = jnp.maximum(jnp.sum(valid), 1.0)
 
-        def loss_fn(p, bs=bs):
+        def _forward(p, b, bs_c):
             variables = {"params": p}
-            if bs:
-                variables["batch_stats"] = bs
-            out, new_state = model.apply(variables, batch, train=True,
+            if bs_c:
+                variables["batch_stats"] = bs_c
+            out, new_state = model.apply(variables, b, train=True,
                                          mutable=["batch_stats"])
-            new_bs = new_state.get("batch_stats", bs)
+            new_bs = new_state.get("batch_stats", bs_c)
             feats = {m: out[m] for m in out if m in ("a", "v", "t")}
-            fused = out["out"]
             out_m = sliced_modality_logits(
                 feats, p["fusion_module"], cfg.fusion_method, cfg.modal3,
                 bias_div=cfg.fusion_method != "sum")
-            loss = masked_ce(fused, label, valid)
-            return loss, (out_m, new_bs)
+            return out["out"], out_m, new_bs
 
-        (loss, (out_m, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if k > 1:
+            # --grad_accum: grads sum to the full-batch gradient; the stacked
+            # per-microbatch modality logits reassemble to the full-batch
+            # out_m, so the OGM coefficients below see identical inputs
+            def mb_loss(p, mb, bs_c):
+                fused, out_m, new_bs = _forward(p, mb, bs_c)
+                nll = ce_per_sample(fused, mb["label"])
+                return jnp.sum(nll * mb["valid"]) / n_total, (out_m, new_bs)
+
+            grads, loss, new_bs, out_m_k = _accum_grads(
+                mb_loss, state.params, _microbatches(batch, k), bs)
+            out_m = {m: _unsplit(v) for m, v in out_m_k.items()}
+        else:
+            def loss_fn(p, bs=bs):
+                fused, out_m, new_bs = _forward(p, batch, bs)
+                return masked_ce(fused, label, valid), (out_m, new_bs)
+
+            (loss, (out_m, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
 
         rng, sub = jax.random.split(state.rng)
         ogm_scalars = {}
