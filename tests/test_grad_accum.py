@@ -173,6 +173,104 @@ class TestMicrobatchInvariants:
                                        atol=1e-6)
 
 
+class TestParallelComposition:
+    """--grad_accum composes with the trace-time parallel switches: the
+    accumulation scan wraps the model apply, so PP's GPipe schedule and
+    Megatron-SP's token sharding run unchanged inside each microbatch.
+    Both must reproduce the plain sequential step."""
+
+    def _batch(self):
+        rng = np.random.default_rng(3)
+        return {"token": jnp.asarray(rng.integers(0, 64, (8, 16)), jnp.int32),
+                "padding_mask": jnp.zeros((8, 16), jnp.float32)
+                    .at[:, 12:].set(1.0),
+                "image": jnp.asarray(rng.standard_normal((8, 3, 32, 32)),
+                                     jnp.float32),
+                "label": jnp.asarray(rng.integers(0, 3, 8), jnp.int32),
+                "idx": jnp.arange(8, dtype=jnp.int32),
+                "valid": jnp.ones((8,), jnp.float32)}
+
+    def _run(self, cfg, model, batch, place=None):
+        spec = optim.make_spec(cfg)
+        state = create_train_state(model, cfg, batch, spec, n_data=16, seed=5)
+        step = steps.make_train_step(model, cfg, spec, len_dl=4)
+        if place is not None:
+            state, batch = place(state, batch)
+        return jax.jit(step)(state, batch, jnp.float32(1e-2), jnp.int32(0),
+                             jnp.int32(0))
+
+    def test_pp_microbatches_times_grad_accum(self):
+        """PP(2) x grad_accum(2): each 4-row accumulation microbatch is
+        GPipe-split into 2 pipeline microbatches per stage — must equal the
+        sequential scan-blocks step (measured exact on the CPU mesh)."""
+        from mla_tpu.models.classifiers import M3AEClassifier
+        from mla_tpu.parallel import pp
+        from mla_tpu.parallel.mesh import make_mesh, shard_batch
+
+        batch = self._batch()
+        model = M3AEClassifier(n_classes=3, gs_flag=True, model_type="debug",
+                               text_vocab_size=64, dtype=jnp.float32,
+                               scan_blocks=True)
+        common = dict(dataset="MVSA", lorb="m3ae", gs_flag=True,
+                      scan_blocks=True, train=True, batch_size=8,
+                      compute_dtype="float32", ghost_updates=True)
+        pp.disable_train()
+        s0, m0 = self._run(MLAConfig(**common).validate(), model, batch)
+
+        cfg1 = MLAConfig(pp_microbatches=2, grad_accum=2, mesh_shape=(2, 2),
+                         **common).validate()
+        mesh = make_mesh(mesh_shape=(2, 2))
+        assert pp.enable_train(mesh, n_micro=2)
+        try:
+            s1, m1 = self._run(cfg1, model, batch, place=lambda st, b: (
+                pp.shard_state_train(mesh, st), shard_batch(mesh, b)))
+        finally:
+            pp.disable_train()
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_seq_parallel_times_grad_accum(self):
+        """SP (TP-sharded params, token-sharded residual) x grad_accum(2)
+        on a (4,2) mesh == plain sequential step (~one-ulp fp difference)."""
+        from mla_tpu.models.classifiers import M3AEClassifier
+        from mla_tpu.parallel import sp, tp
+        from mla_tpu.parallel.mesh import make_mesh, shard_batch
+
+        batch = self._batch()
+        model = M3AEClassifier(n_classes=3, gs_flag=True, model_type="debug",
+                               text_vocab_size=64, dtype=jnp.float32)
+        common = dict(dataset="MVSA", lorb="m3ae", gs_flag=True, train=True,
+                      batch_size=8, compute_dtype="float32",
+                      ghost_updates=True)
+        s0, m0 = self._run(MLAConfig(**common).validate(), model, batch)
+
+        cfg1 = MLAConfig(seq_parallel=True, grad_accum=2, mesh_shape=(4, 2),
+                         **common).validate()
+        mesh = make_mesh(mesh_shape=(4, 2))
+
+        def place(st, b):
+            # enable AFTER create_train_state: the eager model.init must not
+            # see the trace-time constraint (driver ordering, driver.py:160)
+            assert sp.enable(mesh)
+            return (st.replace(params=jax.tree_util.tree_map(
+                        jax.device_put, st.params,
+                        tp.state_shardings(mesh, st.params))),
+                    shard_batch(mesh, b))
+
+        try:
+            s1, m1 = self._run(cfg1, model, batch, place=place)
+        finally:
+            sp.disable()
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 class TestBNFamilies:
     def test_av_base_runs_with_sequential_bn(self):
         """CREMA-D ResNets under accumulation: BN normalises per microbatch
