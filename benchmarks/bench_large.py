@@ -37,7 +37,17 @@ def main():
     size = sys.argv[2] if len(sys.argv) > 2 else "large"
     extra = sys.argv[3:]
     remat = "remat" in extra
-    accum = next((int(a[5:]) for a in extra if a.startswith("accum")), 1)
+    accum = 1
+    for a in extra:
+        if a == "remat":
+            continue
+        if a.startswith("accum") and a[5:].isdigit():
+            accum = int(a[5:])
+            continue
+        # unknown/typo'd extras must not silently run under a wrong label
+        # (same rule as the e2e_ab CLI, commit 36d8c0b)
+        raise SystemExit(f"unknown arg {a!r}: expected 'remat' or 'accumK' "
+                         "(e.g. accum4)")
     rng = np.random.default_rng(0)
     batch = {
         "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),

@@ -346,8 +346,7 @@ class MLAConfig:
                 raise ValueError("--grad_accum must divide --batch_size "
                                  f"({self.batch_size} % {self.grad_accum} "
                                  "!= 0)")
-            if (self.modulation == "QMF" and not self.gs_flag
-                    and self.lorb != "large"):
+            if self.regime == "qmf":
                 # the QMF margin-rank loss compares confidence PAIRS across
                 # the whole batch (main.py:108-125) — its gradient does not
                 # decompose over microbatches, so accumulation would silently
@@ -356,6 +355,23 @@ class MLAConfig:
                                  "regime (batch-wide pairwise rank loss); "
                                  "use it with Normal/OGM/MLA")
         return self
+
+    @property
+    def regime(self) -> str:
+        """Which train step this config routes to: 'mla' | 'qmf' | 'joint'.
+
+        THE routing source of truth — steps.make_train_step dispatches on it
+        and validate() derives flag-compat rules from it, so they cannot
+        desync. Mirrors the reference train_epoch's branch order
+        (main.py:164-170,419): gs_flag takes the MLA path regardless of
+        modulation; `--lorb large` precedes the QMF check, so CAV runs the
+        joint path no matter the modulation flag (CAVClassifier has no QMF
+        heads)."""
+        if self.gs_flag:
+            return "mla"
+        if self.modulation == "QMF" and self.lorb != "large":
+            return "qmf"
+        return "joint"
 
     def replace(self, **kw) -> "MLAConfig":
         return dataclasses.replace(self, **kw).validate()

@@ -61,10 +61,20 @@ class MaskedBatchNorm(nn.Module):
             if not self.is_initializing():
                 # torch updates running_var with the UNBIASED estimator
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * unbiased)
+                new_mean = (self.momentum * ra_mean.value
+                            + (1 - self.momentum) * mean)
+                new_var = (self.momentum * ra_var.value
+                           + (1 - self.momentum) * unbiased)
+                if valid is not None:
+                    # a batch with NO valid rows (possible as a --grad_accum
+                    # microbatch made entirely of the loader's padding) must
+                    # not step the running stats toward its clamped
+                    # mean=0/var=0 — keep them unchanged instead
+                    has_rows = jnp.sum(valid.astype(jnp.float32)) > 0
+                    new_mean = jnp.where(has_rows, new_mean, ra_mean.value)
+                    new_var = jnp.where(has_rows, new_var, ra_var.value)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)

@@ -44,7 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mla_tpu.parallel import tp
-from mla_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from mla_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, path_names
 
 # Leaves smaller than this stay replicated: a 768-wide LN vector is 3 KB —
 # sharding it buys nothing and costs a gather. 2^16 fp32 elements = 256 KB.
@@ -58,7 +58,7 @@ _FSDP_ROOTS = ("params", "opt_state")
 def leaf_pspec(path, leaf, n_data: int, n_model: int = 1) -> P:
     """PartitionSpec for one TrainState leaf under (fsdp × tp) rules."""
     base = tp.leaf_pspec(path, leaf, n_model) if n_model > 1 else P()
-    names = tp._path_names(path)
+    names = path_names(path)
     if n_data <= 1 or not names or names[0] not in _FSDP_ROOTS:
         return base
     shape = jax.numpy.shape(leaf)
@@ -87,21 +87,11 @@ def state_shardings(mesh: Mesh, state):
 
 
 def shard_state(mesh: Mesh, state):
-    """Place a host-local TrainState FSDP-sharded onto the mesh.
-
-    Multi-host: promote the (identically seeded) host-local tree to a
-    replicated global array first, then reshard on-device via a donated
-    identity jit — device_put cannot target non-addressable devices, and
-    donation avoids holding replica + shard simultaneously (2x peak HBM
-    at startup for 'huge'; same flow as tp.shard_state)."""
-    from mla_tpu.parallel.mesh import replicate
+    """Place a host-local TrainState FSDP-sharded onto the mesh (placement
+    flow shared with tp.shard_state — mesh.place_sharded)."""
+    from mla_tpu.parallel.mesh import place_sharded, replicate
     n_data = mesh.shape.get(DATA_AXIS, 1)
     n_model = mesh.shape.get(MODEL_AXIS, 1)
     if n_data <= 1 and n_model <= 1:
         return replicate(mesh, state)
-    if jax.process_count() > 1:
-        state = replicate(mesh, state)
-        return jax.jit(lambda s: s, donate_argnums=0,
-                       out_shardings=state_shardings(mesh, state))(state)
-    return jax.tree_util.tree_map(jax.device_put, state,
-                                  state_shardings(mesh, state))
+    return place_sharded(mesh, state, state_shardings(mesh, state))

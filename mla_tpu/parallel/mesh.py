@@ -76,6 +76,33 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def path_names(path) -> list:
+    """tree_map_with_path key path -> plain name list (dict keys / attrs)."""
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "name"):
+            out.append(str(p.name))
+    return out
+
+
+def place_sharded(mesh: Mesh, state, shardings):
+    """Place a host-local TrainState onto the mesh under a precomputed
+    sharding pytree (the shared flow behind tp.shard_state / fsdp.shard_state).
+
+    Multi-host: promote the (identically seeded) host-local tree to a
+    replicated global array first — device_put cannot target non-addressable
+    devices — then reshard on-device via a donated identity jit (donation
+    avoids holding replica + shard simultaneously: 2x peak HBM at startup
+    for 'huge'). Single-host: direct device_put per leaf."""
+    if jax.process_count() > 1:
+        state = replicate(mesh, state)
+        return jax.jit(lambda s: s, donate_argnums=0,
+                       out_shardings=shardings)(state)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
 def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated (params, optimizer state, Pl).
 

@@ -211,7 +211,7 @@ def state_shardings(mesh: Mesh, state):
     """NamedSharding pytree for PP training: every leaf under a 'blocks'
     subtree (the stacked block params and their mirrored optimizer moments)
     is stage-sharded on dim 0 over 'model'; everything else replicates."""
-    from mla_tpu.parallel.tp import _path_names
+    from mla_tpu.parallel.mesh import path_names as _path_names
 
     def spec(path, leaf):
         names = _path_names(path)

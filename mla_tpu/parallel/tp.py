@@ -33,26 +33,19 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mla_tpu.parallel.mesh import MODEL_AXIS
+from mla_tpu.parallel.mesh import MODEL_AXIS, path_names
 
 # (parent module, leaf name) -> which dim is model-sharded for 2-D kernels
 _COL_PARALLEL = {"qkv", "fc1"}   # shard output features (dim 1)
 _ROW_PARALLEL = {"proj", "fc2"}  # shard input features (dim 0)
 
-
-def _path_names(path):
-    out = []
-    for p in path:
-        if hasattr(p, "key"):
-            out.append(str(p.key))
-        elif hasattr(p, "name"):
-            out.append(str(p.name))
-    return out
+# back-compat alias (pp.py / fsdp.py / tests imported the private name)
+_path_names = path_names
 
 
 def leaf_pspec(path, leaf, n_model: int) -> P:
     """PartitionSpec for one state leaf under (data, model) TP rules."""
-    names = _path_names(path)
+    names = path_names(path)
     if len(names) < 2 or n_model <= 1:
         return P()
     parent, leaf_name = names[-2], names[-1]
@@ -94,18 +87,9 @@ def state_shardings(mesh: Mesh, state):
 def shard_state(mesh: Mesh, state):
     """Place a host-local TrainState onto the mesh: TP-sharded where the
     rules apply, replicated elsewhere (a model axis of 1 degenerates to the
-    plain DP replicate). Multi-host: promote replicated first (every process
-    holds the identical seeded tree), then reshard on-device via an identity
-    jit — XLA moves the shards over ICI."""
-    from mla_tpu.parallel.mesh import replicate
-    n_model = mesh.shape.get(MODEL_AXIS, 1)
-    if n_model <= 1:
+    plain DP replicate). Placement flow shared with fsdp.shard_state
+    (mesh.place_sharded)."""
+    from mla_tpu.parallel.mesh import place_sharded, replicate
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
         return replicate(mesh, state)
-    if jax.process_count() > 1:
-        state = replicate(mesh, state)
-        # donate: without it every device holds the full replicated tree AND
-        # its shard during the reshard (2x peak HBM at startup for 'huge')
-        return jax.jit(lambda s: s, donate_argnums=0,
-                       out_shardings=state_shardings(mesh, state))(state)
-    shardings = state_shardings(mesh, state)
-    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return place_sharded(mesh, state, state_shardings(mesh, state))

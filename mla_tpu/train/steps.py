@@ -151,7 +151,7 @@ def _apply_encode_head(model, params, batch_stats, batch, modality):
 
 def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
     modalities = modalities_of(cfg)
-    k = getattr(cfg, "grad_accum", 1)
+    k = cfg.grad_accum
 
     def step(state: TrainState, batch, lr, batch_index, epoch=0):
         del epoch
@@ -279,7 +279,7 @@ def _modulate_grads(grads, coeffs, rng, use_ge: bool, active, modal3: bool):
 def make_joint_train_step(model, cfg, spec: optim.OptimizerSpec):
     use_ogm = cfg.modulation in ("OGM", "OGM_GE")
     use_ge = cfg.modulation == "OGM_GE"
-    k = getattr(cfg, "grad_accum", 1)
+    k = cfg.grad_accum
 
     def step(state: TrainState, batch, lr, batch_index, epoch=0):
         del batch_index
@@ -437,16 +437,16 @@ def make_qmf_train_step(model, cfg, spec: optim.OptimizerSpec):
 
 
 def make_train_step(model, cfg, spec, len_dl):
-    """Regime dispatch mirroring train_epoch's branches (main.py:164,419)."""
-    if cfg.gs_flag:
+    """Regime dispatch on cfg.regime — the single routing source of truth
+    (core/config.py), mirroring train_epoch's branches (main.py:164,419)."""
+    if cfg.regime == "mla":
         return make_mla_train_step(model, cfg, spec, len_dl)
-    if cfg.modulation == "QMF":
-        if cfg.lorb == "large":
-            # reference branch order: `if lorb == "large"` precedes the QMF
-            # check (main.py:166-170), so CAV runs the joint path no matter
-            # the modulation flag — CAVClassifier has no QMF heads
-            print("NOTE: --modulation QMF is inert for --lorb large "
-                  "(reference main.py:166-170 runs the joint path)")
-            return make_joint_train_step(model, cfg, spec)
+    if cfg.regime == "qmf":
         return make_qmf_train_step(model, cfg, spec)
+    if cfg.modulation == "QMF":
+        # reference branch order: `if lorb == "large"` precedes the QMF
+        # check (main.py:166-170), so CAV runs the joint path no matter
+        # the modulation flag — CAVClassifier has no QMF heads
+        print("NOTE: --modulation QMF is inert for --lorb large "
+              "(reference main.py:166-170 runs the joint path)")
     return make_joint_train_step(model, cfg, spec)

@@ -10,6 +10,27 @@ from mla_tpu.models.norm import MaskedBatchNorm
 
 
 class TestMaskedBatchNorm:
+    def test_all_padded_batch_leaves_running_stats_unchanged(self):
+        """A batch with NO valid rows (possible as a --grad_accum microbatch
+        made entirely of loader padding) must not step the running stats
+        toward its clamped mean=0/var=0 (code-review r3 finding)."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 6, 6, 8)).astype(np.float32))
+        m = MaskedBatchNorm(use_running_average=False)
+        v = m.init(jax.random.key(0), x, jnp.ones((4,), jnp.float32))
+        # warm the stats away from init with one real batch
+        _, st = m.apply(v, x, jnp.ones((4,), jnp.float32),
+                        mutable=["batch_stats"])
+        v = {**v, "batch_stats": st["batch_stats"]}
+        _, st2 = m.apply(v, x, jnp.zeros((4,), jnp.float32),
+                         mutable=["batch_stats"])
+        np.testing.assert_array_equal(
+            np.asarray(st["batch_stats"]["mean"]),
+            np.asarray(st2["batch_stats"]["mean"]))
+        np.testing.assert_array_equal(
+            np.asarray(st["batch_stats"]["var"]),
+            np.asarray(st2["batch_stats"]["var"]))
+
     def test_valid_none_matches_flax_bn(self):
         import flax.linen as nn
         rng = np.random.default_rng(0)
