@@ -168,6 +168,13 @@ class MLAConfig:
                                      # sequential microbatch statistics.
                                      # Incompatible with QMF's pairwise
                                      # batch-wide rank loss.
+    export_torch: str = ""           # write a reference-loadable torch .pth
+                                     # (saved_dict layout of main.py:915-927,
+                                     # DataParallel 'module.' prefix) from the
+                                     # final train state / eval-only restore —
+                                     # the inverse of the .pth import shim,
+                                     # so TPU-trained weights go back to the
+                                     # reference verbatim
     log_every: int = 50
     masked_bn: bool = False          # exact partial-batch BN statistics
                                      # (MaskedBatchNorm); ~10% step-time cost,
@@ -505,6 +512,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_batch_sizes", default=None, type=str,
                    help="comma-separated batch-size ladder for --export_dir "
                         "(default 1,8,<batch_size>)")
+    p.add_argument("--export_torch", default=d.export_torch, type=str,
+                   help="write a reference-loadable torch .pth (main.py "
+                        "saved_dict layout) from the final/restored state")
     return p
 
 

@@ -64,6 +64,21 @@ def scalar_groups(cfg: MLAConfig, epoch_metrics: Dict[str, float],
     return loss_scalars, eval_scalars
 
 
+def _export_torch(cfg: MLAConfig, state, epoch: int, acc: float) -> None:
+    """--export_torch: write a reference-loadable .pth from the live state
+    (models/torch_export.py). Sharded states are fetched to host first
+    (host_fetch gathers single-process shards, fails loudly on cross-process
+    model shards); only process 0 writes."""
+    from mla_tpu.models.torch_export import save_torch_checkpoint
+    from mla_tpu.runtime.export import host_fetch
+    host = (host_fetch(state.params),
+            host_fetch(state.batch_stats) if state.batch_stats else {})
+    if jax.process_index() == 0:
+        save_torch_checkpoint(cfg.export_torch, host, cfg,
+                              epoch=epoch, acc=acc)
+        print(f"Exported torch checkpoint to {cfg.export_torch}")
+
+
 def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
     totals = None
     for batch in loader.epoch(0):
@@ -192,6 +207,8 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
             # break a subsequent sp/pp-sharded eval step
             from mla_tpu.runtime.export import export_from_driver
             export_from_driver(cfg, model, state, sample)
+        if cfg.export_torch:
+            _export_torch(cfg, state, epoch=0, acc=accs.get("acc", 0.0))
         return jax.block_until_ready(state), accs
 
     start_epoch = 0
@@ -319,6 +336,8 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         # run eval-only with --export_dir on the saved best checkpoint)
         from mla_tpu.runtime.export import export_from_driver
         export_from_driver(cfg, model, state, sample)
+    if cfg.export_torch:
+        _export_torch(cfg, state, epoch=cfg.epochs - 1, acc=best_acc)
     # quiesce: float() metric reads above only force device 0 of replicated
     # arrays; wait for every shard so no multi-device execution outlives run()
     ckpt_lib.wait_for_async_saves()  # commit any in-flight best-ckpt write

@@ -98,7 +98,7 @@ def _specs_for(example_features: Dict[str, np.ndarray], keys: Sequence[str],
     return specs
 
 
-def _host_fetch(tree):
+def host_fetch(tree):
     """Device tree -> host numpy, one replica's worth per leaf.
 
     Works for single-device, single-process-sharded, and multi-process
@@ -110,7 +110,7 @@ def _host_fetch(tree):
             shard = x.addressable_data(0)
             if shard.shape != x.shape:
                 raise ValueError(
-                    "export_serving: params are sharded across processes "
+                    "host_fetch: params are sharded across processes "
                     f"(leaf {x.shape} -> local shard {shard.shape}); export "
                     "from a single-process run (eval-only --export_dir on "
                     "the saved checkpoint) or without a model axis")
@@ -135,8 +135,8 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
     os.makedirs(out_dir, exist_ok=True)
     keys = feature_keys(model)
     serve = make_serving_fn(model, cfg)
-    params = _host_fetch(state.params)
-    batch_stats = _host_fetch(state.batch_stats) if state.batch_stats \
+    params = host_fetch(state.params)
+    batch_stats = host_fetch(state.batch_stats) if state.batch_stats \
         else {}
     example = {k: np.asarray(example_batch[k]) for k in keys}
     write = jax.process_index() == 0
