@@ -9,13 +9,15 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge]
-(large/huge: scan-blocks M3AE at that size, ladder (1, 16))
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16]
+(large/huge: scan-blocks M3AE at that size, ladder (1, 16);
+ bf16: export with --export_dtype bfloat16 weights)
 """
 
 import sys
 
 import json
+import os
 import time
 
 import jax
@@ -33,7 +35,7 @@ from mla_tpu.train import optim  # noqa: E402
 from mla_tpu.train.state import create_train_state  # noqa: E402
 
 
-def _run_big(which, model, cfg, state, batch, rungs):
+def _run_big(which, model, cfg, state, batch, rungs, wdtype="float32"):
     """large/huge flow: direct eval + export while the init weights are on
     device, then FREE them before loading the artifact — two copies of the
     huge fp32 tree (2 x 5.4 GB) plus activations exceed the 16 GB chip."""
@@ -43,9 +45,10 @@ def _run_big(which, model, cfg, state, batch, rungs):
         lambda p, bs, b, v: eval_logits(model, cfg, p, bs, b, v)[1])(
             state.params, state.batch_stats, batch,
             jnp.ones(B, jnp.float32)))
-    out_dir = f"/tmp/serving_art_{which}"
+    out_dir = f"/tmp/serving_art_{which}_{wdtype}"
     t0 = time.perf_counter()
-    ex.export_serving(cfg, model, state, batch, out_dir, batch_sizes=rungs)
+    ex.export_serving(cfg, model, state, batch, out_dir, batch_sizes=rungs,
+                      weights_dtype=wdtype)
     t_export = time.perf_counter() - t0
     feats = {k: np.asarray(batch[k]) for k in ("token", "padding_mask",
                                                "image")}
@@ -79,13 +82,22 @@ def _run_big(which, model, cfg, state, batch, rungs):
                      "device_resident_clips_per_sec": round(n / dt_dev, 1)})
 
     print(json.dumps({
-        "config": which, "device": jax.devices()[0].device_kind,
+        "config": which, "weights_dtype": wdtype,
+        "device": jax.devices()[0].device_kind,
         "export_s": round(t_export, 1), "load_s": round(t_load, 1),
+        "params_msgpack_mb": round(os.path.getsize(
+            os.path.join(out_dir, "params.msgpack")) / 2**20, 1),
         "max_abs_err_vs_live_graph": err, "rungs": rows}, indent=1))
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "m3ae"
+    argv = [a for a in sys.argv[1:]]
+    wdtype = "bfloat16" if "bf16" in argv else "float32"
+    argv = [a for a in argv if a != "bf16"]
+    unknown = [a for a in argv[1:]]
+    if unknown:
+        raise SystemExit(f"unknown extra args {unknown}")
+    which = argv[0] if argv else "m3ae"
     rng = np.random.default_rng(0)
     B = 64
     rungs = (1, 8, 64)
@@ -116,7 +128,7 @@ def main():
                                           "batch_stats", {}))
         del variables  # the namespace holds the only device refs now, so
         #                _run_big's state.params = None actually frees HBM
-        return _run_big(which, model, cfg, state, batch, rungs)
+        return _run_big(which, model, cfg, state, batch, rungs, wdtype)
     elif which == "m3ae":
         batch = {
             "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
@@ -162,10 +174,10 @@ def main():
         model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.bfloat16)
     state = create_train_state(model, cfg, batch, spec=optim.make_spec(cfg))
 
-    out_dir = f"/tmp/serving_art_{which}"
+    out_dir = f"/tmp/serving_art_{which}_{wdtype}"
     t0 = time.perf_counter()
     ex.export_serving(cfg, model, state, batch, out_dir,
-                      batch_sizes=rungs)
+                      batch_sizes=rungs, weights_dtype=wdtype)
     t_export = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -215,9 +227,11 @@ def main():
                      "h2d_mb_per_call": round(h2d_mb, 1)})
 
     print(json.dumps({
-        "config": which,
+        "config": which, "weights_dtype": wdtype,
         "device": jax.devices()[0].device_kind,
         "export_s": round(t_export, 1), "load_s": round(t_load, 1),
+        "params_msgpack_mb": round(os.path.getsize(
+            os.path.join(out_dir, "params.msgpack")) / 2**20, 1),
         "max_abs_err_vs_live_graph": err,
         "rungs": rows}, indent=1))
 

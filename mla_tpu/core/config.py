@@ -214,6 +214,12 @@ class MLAConfig:
     export_batch_sizes: Tuple[int, ...] = ()
                                       # batch-size ladder for the artifact;
                                       # default (1, 8, batch_size)
+    export_dtype: str = "float32"     # artifact weight precision: 'bfloat16'
+                                      # halves params.msgpack + device-resident
+                                      # weight HBM (huge: 5.4 -> 2.7 GB); the
+                                      # compute path is bf16 either way, so
+                                      # only the one-time weight rounding
+                                      # differs. BN batch_stats stay fp32.
 
     # --- multi-host distributed data parallelism (SURVEY §5.8) ---
     # One process per TPU host. dist_coordinator ("host0:port") enables
@@ -316,6 +322,11 @@ class MLAConfig:
         if any(b < 1 for b in self.export_batch_sizes):
             raise ValueError("--export_batch_sizes must be positive, got "
                              f"{self.export_batch_sizes}")
+        if self.export_dtype not in ("float32", "bfloat16"):
+            raise ValueError("--export_dtype must be float32 or bfloat16, "
+                             f"got {self.export_dtype!r}")
+        if self.export_dtype != "float32" and not self.export_dir:
+            raise ValueError("--export_dtype needs --export_dir")
         if self.pp_microbatches and not self.scan_blocks:
             raise ValueError("--pp_microbatches requires --scan_blocks "
                              "(the stacked block layout pp stages consume)")
@@ -515,6 +526,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_torch", default=d.export_torch, type=str,
                    help="write a reference-loadable torch .pth (main.py "
                         "saved_dict layout) from the final/restored state")
+    p.add_argument("--export_dtype", default=d.export_dtype, type=str,
+                   choices=("float32", "bfloat16"),
+                   help="--export_dir artifact weight precision; bfloat16 "
+                        "halves weight bytes (storage + device HBM)")
     return p
 
 

@@ -153,7 +153,57 @@ class TestExportRoundTrip:
         assert srv.meta["family"] == "AVClassifier"
         assert srv.meta["n_classes"] == cfg.n_classes
         assert srv.meta["config"]["dynamic"] is True
+        assert srv.meta["weights_dtype"] == "float32"
         assert set(srv.feature_names) == set(feature_keys(model))
+
+
+class TestExportBF16:
+    def test_bf16_artifact_halves_weights_and_tracks_fp32(self, av_export,
+                                                          tmp_path):
+        """--export_dtype bfloat16: params.msgpack ~halves (BN batch_stats
+        stay fp32), the graph serves bf16 weights end-to-end, and logits
+        track the fp32 artifact at weight-rounding tolerance (compute is
+        bf16 in both, so only the stored-weight rounding differs)."""
+        import os
+        cfg, model, state, batch, out32 = av_export
+        out16 = str(tmp_path / "bf16")
+        export_serving(cfg, model, state, batch, out16, batch_sizes=(2, 4),
+                       weights_dtype="bfloat16")
+        srv32, srv16 = load_serving(out32), load_serving(out16)
+        assert srv16.meta["weights_dtype"] == "bfloat16"
+        s32 = os.path.getsize(os.path.join(out32, "params.msgpack"))
+        s16 = os.path.getsize(os.path.join(out16, "params.msgpack"))
+        assert s16 < 0.62 * s32, (s16, s32)
+        feats = {k: np.asarray(batch[k]) for k in feature_keys(model)}
+        a, b = srv32(feats), srv16(feats)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0.1, atol=0.05)
+        # per-modality argmax-stability on this fixture (weight rounding
+        # must not flip the predictions the artifact exists to serve)
+        assert (np.argmax(a["fused"], -1) == np.argmax(b["fused"], -1)).all()
+
+    def test_invalid_dtype_rejected(self, av_export, tmp_path):
+        cfg, model, state, batch, _ = av_export
+        with pytest.raises(ValueError, match="float32 or bfloat16"):
+            export_serving(cfg, model, state, batch, str(tmp_path / "bad"),
+                           batch_sizes=(2,), weights_dtype="float16")
+        with pytest.raises(ValueError, match="export_dtype"):
+            cfg.replace(export_dtype="int8", export_dir="x")
+        with pytest.raises(ValueError, match="export_dtype"):
+            cfg.replace(export_dtype="bfloat16", export_dir=None)
+
+    def test_driver_hook_passes_dtype(self, av_export, tmp_path):
+        from mla_tpu.runtime.export import export_from_driver
+        cfg, model, state, batch, _ = av_export
+        cfg2 = cfg.replace(export_dir=str(tmp_path / "d"),
+                           export_batch_sizes=(4,),
+                           export_dtype="bfloat16")
+        export_from_driver(cfg2, model, state, batch)
+        srv = load_serving(cfg2.export_dir)
+        assert srv.meta["weights_dtype"] == "bfloat16"
+        import ml_dtypes
+        leaf = jax.tree.leaves(srv.weights[0])[0]
+        assert leaf.dtype == ml_dtypes.bfloat16
 
 
 class TestExportCLIP:
