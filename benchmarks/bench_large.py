@@ -5,11 +5,13 @@ ever constructs base; --m3ae_size makes them trainable here. Single chip:
 --scan_blocks keeps the 24-deep stack's HLO (and compile time) small; batch
 is sized to HBM. Usage:
 PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py \
-    [batch] [size] [remat] [accumK]
+    [batch] [size] [remat] [accumK] [bf16state]
 
 `accumK` (e.g. accum8) turns on --grad_accum K: K scanned microbatches per
 update, ~K-fold less activation memory — the alternative/complement to remat
-for fitting bigger effective batches on one chip.
+for fitting bigger effective batches on one chip. `bf16state` sets
+--opt_dtype bfloat16 (and --accum_dtype bfloat16 when accumulating): bf16
+moment buffers + accumulation carry, the state lever for huge+accum.
 
 Chained-protocol timing (donated state threads step N's output into N+1,
 one trailing host read — BASELINE.md measurement notes).
@@ -38,16 +40,17 @@ def main():
     extra = sys.argv[3:]
     remat = "remat" in extra
     accum = 1
+    bf16_state = "bf16state" in extra
     for a in extra:
-        if a == "remat":
+        if a in ("remat", "bf16state"):
             continue
         if a.startswith("accum") and a[5:].isdigit():
             accum = int(a[5:])
             continue
         # unknown/typo'd extras must not silently run under a wrong label
         # (same rule as the e2e_ab CLI, commit 36d8c0b)
-        raise SystemExit(f"unknown arg {a!r}: expected 'remat' or 'accumK' "
-                         "(e.g. accum4)")
+        raise SystemExit(f"unknown arg {a!r}: expected 'remat', 'bf16state' "
+                         "or 'accumK' (e.g. accum4)")
     rng = np.random.default_rng(0)
     batch = {
         "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
@@ -57,9 +60,12 @@ def main():
         "label": jnp.asarray(rng.integers(0, 101, B), jnp.int32),
         "idx": jnp.arange(B, dtype=jnp.int32),
         "valid": jnp.ones((B,), jnp.float32)}
+    sd = "bfloat16" if bf16_state else "float32"
     cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
                     m3ae_size=size, scan_blocks=True, remat_blocks=remat,
-                    grad_accum=accum, batch_size=B, train=True).validate()
+                    grad_accum=accum, batch_size=B, train=True,
+                    opt_dtype=sd,
+                    accum_dtype=sd if accum > 1 else "float32").validate()
     model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=size,
                            scan_blocks=True, remat_blocks=remat,
                            dtype=jnp.bfloat16)
@@ -90,7 +96,7 @@ def main():
 
     out = {
         "device": jax.devices()[0].device_kind, "size": size, "batch": B,
-        "remat": remat, "grad_accum": accum,
+        "remat": remat, "grad_accum": accum, "state_dtype": sd,
         "params_m": round(n_params / 1e6, 1),
         "step_ms": round(dt * 1e3, 1),
         "clips_per_sec": round(B / dt, 1),

@@ -168,6 +168,20 @@ class MLAConfig:
                                      # sequential microbatch statistics.
                                      # Incompatible with QMF's pairwise
                                      # batch-wide rank loss.
+    opt_dtype: str = "float32"       # optimizer moment-buffer precision (SGD
+                                     # momentum; Adam m/v): 'bfloat16' halves
+                                     # the moment HBM (huge SGD: 5.4 -> 2.7
+                                     # GB). Moments round to bf16 at store
+                                     # and the rounded value drives the param
+                                     # update, so ckpt-resume stays exact.
+    accum_dtype: str = "float32"     # --grad_accum carry precision:
+                                     # 'bfloat16' halves the param-sized
+                                     # gradient accumulator the scan carries
+                                     # (huge: 5.4 -> 2.7 GB) at the cost of
+                                     # rounding each partial sum. Together
+                                     # with --opt_dtype bfloat16 this is the
+                                     # state lever that fits huge+grad_accum
+                                     # on one 16 GB chip.
     export_torch: str = ""           # write a reference-loadable torch .pth
                                      # (saved_dict layout of main.py:915-927,
                                      # DataParallel 'module.' prefix) from the
@@ -372,6 +386,15 @@ class MLAConfig:
                 raise ValueError("--grad_accum is incompatible with the QMF "
                                  "regime (batch-wide pairwise rank loss); "
                                  "use it with Normal/OGM/MLA")
+        for knob in ("opt_dtype", "accum_dtype"):
+            v = getattr(self, knob)
+            if v not in ("float32", "bfloat16"):
+                raise ValueError(f"--{knob} must be float32 or bfloat16, "
+                                 f"got {v!r}")
+        if self.accum_dtype != "float32" and self.grad_accum <= 1:
+            raise ValueError("--accum_dtype bfloat16 only applies with "
+                             "--grad_accum > 1 (it is the accumulator "
+                             "carry's precision)")
         return self
 
     @property
@@ -502,6 +525,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulate gradients over this many sequential "
                         "microbatches per step (one optimizer update; "
                         "~k-fold activation-memory saving for large/huge)")
+    p.add_argument("--opt_dtype", default=d.opt_dtype, type=str,
+                   choices=("float32", "bfloat16"),
+                   help="optimizer moment-buffer dtype; bfloat16 halves "
+                        "moment HBM (state lever for --m3ae_size huge)")
+    p.add_argument("--accum_dtype", default=d.accum_dtype, type=str,
+                   choices=("float32", "bfloat16"),
+                   help="--grad_accum carry dtype; bfloat16 halves the "
+                        "param-sized gradient accumulator")
     p.add_argument("--resnet_stages", default=None, type=str,
                    help="comma-separated blocks per ResNet stage "
                         "(default 2,2,2,2 = ResNet-18)")

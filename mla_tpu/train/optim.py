@@ -44,17 +44,25 @@ class OptimizerSpec:
     # per-leaf lr multiplier tree (cav_opti: head 1.0, rest 0.1 — main.py:739-746);
     # None = 1.0 everywhere
     lr_scales: Optional[Any] = None
+    # moment-buffer storage dtype (--opt_dtype): 'bfloat16' halves the
+    # momentum/m/v HBM (huge SGD: 5.4 -> 2.7 GB). Math runs in the param
+    # dtype; the stored (rounded) moment drives the param update, so a
+    # checkpoint-resume replays the exact same update stream.
+    state_dtype: str = "float32"
 
 
 def init_opt_state(spec: OptimizerSpec, params) -> Dict[str, Any]:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    sd = jnp.dtype(spec.state_dtype)
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, sd), params)
     if spec.kind == "sgd":
         return {"momentum": zeros}
     if spec.kind == "adam":
         steps = jax.tree_util.tree_map(
             lambda p: jnp.zeros((), jnp.int32), params)
         return {"m": zeros,
-                "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "v": jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, sd), params),
                 "t": steps}
     raise ValueError(spec.kind)
 
@@ -65,8 +73,10 @@ def _leaf_sgd(spec, lr_scale, p, g, buf, lr, mode):
     if mode == SKIP:
         return p, buf
     d = spec.weight_decay * p if mode == GHOST else g + spec.weight_decay * p
-    new_buf = spec.momentum * buf + d
-    new_p = p - lr * lr_scale * new_buf
+    # compute in the param dtype, round to the storage dtype FIRST, then
+    # apply the rounded buffer — all astype calls are no-ops at fp32
+    new_buf = (spec.momentum * buf.astype(p.dtype) + d).astype(buf.dtype)
+    new_p = p - lr * lr_scale * new_buf.astype(p.dtype)
     return new_p, new_buf
 
 
@@ -75,11 +85,12 @@ def _leaf_adam(spec, lr_scale, p, g, m, v, t, lr, mode):
         return p, m, v, t
     d = spec.weight_decay * p if mode == GHOST else g + spec.weight_decay * p
     new_t = t + 1
-    new_m = spec.b1 * m + (1 - spec.b1) * d
-    new_v = spec.b2 * v + (1 - spec.b2) * d * d
+    new_m = (spec.b1 * m.astype(p.dtype) + (1 - spec.b1) * d).astype(m.dtype)
+    new_v = (spec.b2 * v.astype(p.dtype)
+             + (1 - spec.b2) * d * d).astype(v.dtype)
     tf = new_t.astype(jnp.float32)
-    mhat = new_m / (1 - spec.b1 ** tf)
-    vhat = new_v / (1 - spec.b2 ** tf)
+    mhat = new_m.astype(p.dtype) / (1 - spec.b1 ** tf)
+    vhat = new_v.astype(p.dtype) / (1 - spec.b2 ** tf)
     new_p = p - lr * lr_scale * mhat / (jnp.sqrt(vhat) + spec.eps)
     return new_p, new_m, new_v, new_t
 
@@ -134,6 +145,7 @@ def lr_for_epoch(cfg, epoch: int) -> float:
 
 def make_spec(cfg, params=None) -> OptimizerSpec:
     """Optimizer selection mirroring main.py:735-751."""
+    sd = cfg.opt_dtype
     if cfg.lorb == "large" and cfg.cav_opti:
         scales = None
         if params is not None:
@@ -148,10 +160,12 @@ def make_spec(cfg, params=None) -> OptimizerSpec:
                                               "kernel") else 0.1
             scales = _label_tree(params, scale_of)
         return OptimizerSpec(kind="adam", weight_decay=5e-7, b1=0.95, b2=0.999,
-                             lr_scales=scales)
+                             lr_scales=scales, state_dtype=sd)
     if cfg.optimizer == "adam":
-        return OptimizerSpec(kind="adam", weight_decay=0.0, b1=0.9, b2=0.999)
-    return OptimizerSpec(kind="sgd", momentum=0.9, weight_decay=1e-4)
+        return OptimizerSpec(kind="adam", weight_decay=0.0, b1=0.9, b2=0.999,
+                             state_dtype=sd)
+    return OptimizerSpec(kind="sgd", momentum=0.9, weight_decay=1e-4,
+                         state_dtype=sd)
 
 
 def _label_tree(params, fn):

@@ -75,7 +75,7 @@ def _microbatches(batch, k: int):
     return jax.tree_util.tree_map(split, batch)
 
 
-def _accum_grads(mb_loss, params, mbs, bs):
+def _accum_grads(mb_loss, params, mbs, bs, accum_dtype="float32"):
     """Scan `mb_loss(params, microbatch, batch_stats) -> (loss, (aux, bs))`
     over the leading microbatch axis, summing gradients and losses into ONE
     update's worth. Each microbatch loss is normalised by the FULL batch's
@@ -83,15 +83,22 @@ def _accum_grads(mb_loss, params, mbs, bs):
     equals the full-batch gradient bit-for-bit up to fp addition order.
     Activation memory is one microbatch's worth — the --grad_accum lever for
     the large/huge configs. BN stats thread sequentially (torch-style
-    accumulation semantics). Returns (grads, loss, bs, stacked_aux)."""
+    accumulation semantics). accum_dtype 'bfloat16' halves the param-sized
+    carry (the scan's live accumulator, the state term that OOMed huge+accum
+    single-chip): each partial sum computes in the grad dtype and rounds to
+    bf16 at the carry boundary. Returns (grads, loss, bs, stacked_aux)."""
+    sd = jnp.dtype(accum_dtype)
+
     def body(carry, mb):
         g_acc, bs_c, l_acc = carry
         (l, (aux, bs_n)), g = jax.value_and_grad(
             mb_loss, has_aux=True)(params, mb, bs_c)
-        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        g_acc = jax.tree_util.tree_map(
+            lambda a, gg: (a.astype(gg.dtype) + gg).astype(a.dtype), g_acc, g)
         return (g_acc, bs_n, l_acc + l), aux
 
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, sd), params)
     (grads, bs, loss), aux_k = jax.lax.scan(
         body, (zeros, bs, jnp.float32(0.0)), mbs)
     return grads, loss, bs, aux_k
@@ -175,7 +182,8 @@ def make_mla_train_step(model, cfg, spec: optim.OptimizerSpec, len_dl: int):
                     return jnp.sum(nll * mb["valid"]) / n_total, (feat, new_bs)
 
                 grads, loss, bs, feats_k = _accum_grads(mb_loss, params,
-                                                        mbs, bs)
+                                                        mbs, bs,
+                                                        cfg.accum_dtype)
                 feat = _unsplit(feats_k)  # full-batch features for GS
             else:
                 def loss_fn(p, bs=bs, m=m):
@@ -310,7 +318,8 @@ def make_joint_train_step(model, cfg, spec: optim.OptimizerSpec):
                 return jnp.sum(nll * mb["valid"]) / n_total, (out_m, new_bs)
 
             grads, loss, new_bs, out_m_k = _accum_grads(
-                mb_loss, state.params, _microbatches(batch, k), bs)
+                mb_loss, state.params, _microbatches(batch, k), bs,
+                cfg.accum_dtype)
             out_m = {m: _unsplit(v) for m, v in out_m_k.items()}
         else:
             def loss_fn(p, bs=bs):
