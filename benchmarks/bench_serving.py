@@ -9,9 +9,9 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8]
 (large/huge: scan-blocks M3AE at that size, ladder (1, 16);
- bf16: export with --export_dtype bfloat16 weights)
+ bf16/int8: --export_dtype weight precision of the artifact)
 """
 
 import sys
@@ -92,8 +92,12 @@ def _run_big(which, model, cfg, state, batch, rungs, wdtype="float32"):
 
 def main():
     argv = [a for a in sys.argv[1:]]
-    wdtype = "bfloat16" if "bf16" in argv else "float32"
-    argv = [a for a in argv if a != "bf16"]
+    wdtype = "float32"
+    if "bf16" in argv:
+        wdtype = "bfloat16"
+    if "int8" in argv:
+        wdtype = "int8"
+    argv = [a for a in argv if a not in ("bf16", "int8")]
     unknown = [a for a in argv[1:]]
     if unknown:
         raise SystemExit(f"unknown extra args {unknown}")

@@ -234,6 +234,10 @@ class MLAConfig:
                                       # compute path is bf16 either way, so
                                       # only the one-time weight rounding
                                       # differs. BN batch_stats stay fp32.
+                                      # 'int8': weight-only per-channel
+                                      # quantization of the big kernels/
+                                      # embeddings (4x vs fp32), dequantized
+                                      # inside the exported graph; rest bf16.
 
     # --- multi-host distributed data parallelism (SURVEY §5.8) ---
     # One process per TPU host. dist_coordinator ("host0:port") enables
@@ -336,9 +340,9 @@ class MLAConfig:
         if any(b < 1 for b in self.export_batch_sizes):
             raise ValueError("--export_batch_sizes must be positive, got "
                              f"{self.export_batch_sizes}")
-        if self.export_dtype not in ("float32", "bfloat16"):
-            raise ValueError("--export_dtype must be float32 or bfloat16, "
-                             f"got {self.export_dtype!r}")
+        if self.export_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError("--export_dtype must be float32, bfloat16 or "
+                             f"int8, got {self.export_dtype!r}")
         if self.export_dtype != "float32" and not self.export_dir:
             raise ValueError("--export_dtype needs --export_dir")
         if self.pp_microbatches and not self.scan_blocks:
@@ -558,9 +562,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a reference-loadable torch .pth (main.py "
                         "saved_dict layout) from the final/restored state")
     p.add_argument("--export_dtype", default=d.export_dtype, type=str,
-                   choices=("float32", "bfloat16"),
+                   choices=("float32", "bfloat16", "int8"),
                    help="--export_dir artifact weight precision; bfloat16 "
-                        "halves weight bytes (storage + device HBM)")
+                        "halves weight bytes (storage + device HBM), int8 "
+                        "quarters the big kernels (weight-only, in-graph "
+                        "dequant)")
     return p
 
 

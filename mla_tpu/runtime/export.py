@@ -57,18 +57,23 @@ def feature_keys(model) -> Tuple[str, ...]:
     return FEATURE_KEYS[type(model).__name__]
 
 
-def make_serving_fn(model, cfg: MLAConfig):
+def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False):
     """(params, batch_stats, features) -> {'fused', 'logits_<m>'...}.
 
     `features` must contain the model's feature_keys plus 'valid' (float32
     (B,), 1.0 for real rows). Everything else from the training batch dict
     (label/idx) is inference-irrelevant and excluded from the artifact.
+    dequant=True: params carry int8 {'q8','scale'} nodes (weights_dtype
+    'int8') that are dequantized to bf16 INSIDE the graph — XLA fuses the
+    convert+multiply into the consuming matmul's operand read, so int8 is
+    what streams from HBM.
     """
     modalities = modalities_of(cfg)
 
     def serve(params, batch_stats, features):
+        p = dequantize_int8(params) if dequant else params
         valid = features["valid"]
-        out_m, fused = eval_logits(model, cfg, params, batch_stats, features,
+        out_m, fused = eval_logits(model, cfg, p, batch_stats, features,
                                    valid)
         result = {"fused": fused.astype(jnp.float32)}
         for m in modalities:
@@ -127,12 +132,75 @@ def _cast_weights(params, dtype: str):
     rounding of the stored weights. Integer leaves pass through."""
     if dtype == "float32":
         return params
+    if dtype == "int8":
+        return _quantize_int8(params)
     if dtype != "bfloat16":
-        raise ValueError(f"export weights_dtype must be float32 or bfloat16,"
-                         f" got {dtype!r}")
+        raise ValueError(f"export weights_dtype must be float32, bfloat16 "
+                         f"or int8, got {dtype!r}")
     cast = lambda a: a.astype(jnp.bfloat16) \
         if jnp.issubdtype(a.dtype, jnp.floating) else a
     return jax.tree.map(cast, params)
+
+
+# -- int8 weight-only quantization -------------------------------------------
+# Symmetric per-channel int8 for the big GEMM/conv kernels and embedding
+# tables (4x smaller than fp32, 2x smaller than bf16 at rest AND per
+# forward's weight HBM reads — the b=1 serving latency is weight-read-bound,
+# BASELINE.md huge-bf16 analysis); everything small (biases, LN scales,
+# CLS/mask tokens, positional embeddings) stays bf16. Activations are
+# untouched (weight-only scheme), so no calibration data is needed.
+
+_Q8_MIN_SIZE = 4096  # don't bother quantizing tiny leaves
+
+
+def _q8_axes(name: str, ndim: int):
+    """Reduction axes for the per-channel max — the scale broadcasts back.
+    'embedding' (vocab, C): per-ROW (each row is one token's vector; a
+    per-column scale would couple all 30k tokens). Kernels: per-output-
+    channel (last axis); stacked/conv kernels (ndim>=3) also keep axis 0
+    (the --scan_blocks layer axis / conv kh) for per-slice scales —
+    finer granularity costs nothing and never hurts accuracy."""
+    if name == "embedding":
+        return (ndim - 1,)
+    if ndim == 2:
+        return (0,)
+    return tuple(range(1, ndim - 1))
+
+
+def _quantize_int8(params):
+    """Host-side: kernels/embeddings >= _Q8_MIN_SIZE elements become
+    {'q8': int8, 'scale': float32 broadcastable}; other float leaves cast
+    to bf16. The structure round-trips flax msgpack unchanged, so
+    ServingModel needs no int8 awareness — the exported graph dequantizes."""
+    def walk(tree, name=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, k) for k, v in tree.items()}
+        a = np.asarray(tree)
+        if not np.issubdtype(a.dtype, np.floating):
+            return a
+        if name in ("kernel", "embedding") and a.ndim >= 2 \
+                and a.size >= _Q8_MIN_SIZE:
+            amax = np.max(np.abs(a), axis=_q8_axes(name, a.ndim),
+                          keepdims=True)
+            scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+            q = np.clip(np.round(a / scale), -127, 127).astype(np.int8)
+            return {"q8": q, "scale": scale}
+        return a.astype(jnp.bfloat16)
+    return walk(params)
+
+
+def dequantize_int8(params):
+    """In-graph inverse: {'q8','scale'} nodes -> bf16 weights. bf16 (not
+    fp32) keeps the transient dequantized tree at half size; the model
+    casts to its compute dtype (bf16) at use anyway."""
+    def walk(tree):
+        if isinstance(tree, dict):
+            if set(tree.keys()) == {"q8", "scale"}:
+                return (tree["q8"].astype(jnp.bfloat16)
+                        * tree["scale"].astype(jnp.bfloat16))
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+    return walk(params)
 
 
 def export_serving(cfg: MLAConfig, model, state, example_batch,
@@ -146,7 +214,9 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
     no collectives) but only process 0 writes files. weights_dtype
     'bfloat16' stores + serves bf16 params (BN batch_stats stay fp32: the
     eval normalization (x-mean)*rsqrt(var+eps) is precision-sensitive and
-    the stats are per-channel vectors, negligible either way).
+    the stats are per-channel vectors, negligible either way); 'int8'
+    additionally quantizes the big kernels/embeddings per-channel
+    (weight-only — see _quantize_int8) with in-graph dequantization.
     """
     batch_sizes = sorted(set(int(b) for b in batch_sizes))
     if not batch_sizes or batch_sizes[0] < 1:
@@ -154,7 +224,7 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
             f"batch_sizes must be positive ints, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
     keys = feature_keys(model)
-    serve = make_serving_fn(model, cfg)
+    serve = make_serving_fn(model, cfg, dequant=(weights_dtype == "int8"))
     params = _cast_weights(host_fetch(state.params), weights_dtype)
     batch_stats = host_fetch(state.batch_stats) if state.batch_stats \
         else {}

@@ -184,11 +184,11 @@ class TestExportBF16:
 
     def test_invalid_dtype_rejected(self, av_export, tmp_path):
         cfg, model, state, batch, _ = av_export
-        with pytest.raises(ValueError, match="float32 or bfloat16"):
+        with pytest.raises(ValueError, match="float32, bfloat16 or int8"):
             export_serving(cfg, model, state, batch, str(tmp_path / "bad"),
                            batch_sizes=(2,), weights_dtype="float16")
         with pytest.raises(ValueError, match="export_dtype"):
-            cfg.replace(export_dtype="int8", export_dir="x")
+            cfg.replace(export_dtype="fp8", export_dir="x")
         with pytest.raises(ValueError, match="export_dtype"):
             cfg.replace(export_dtype="bfloat16", export_dir=None)
 
@@ -204,6 +204,82 @@ class TestExportBF16:
         import ml_dtypes
         leaf = jax.tree.leaves(srv.weights[0])[0]
         assert leaf.dtype == ml_dtypes.bfloat16
+
+
+class TestExportInt8:
+    def test_quantize_dequantize_law(self):
+        """Symmetric per-channel int8: |deq - w| <= scale/2 + bf16 rounding
+        per element; embeddings scale per ROW, 2-D kernels per column,
+        stacked kernels per (layer, out)."""
+        from mla_tpu.runtime.export import _quantize_int8, dequantize_int8
+        rng = np.random.default_rng(0)
+        params = {
+            "enc": {"kernel": rng.standard_normal((128, 64))
+                    .astype(np.float32) * 0.07,
+                    "bias": rng.standard_normal(64).astype(np.float32)},
+            "emb": {"embedding": rng.standard_normal((512, 32))
+                    .astype(np.float32) * 3.0},
+            "blocks": {"kernel": rng.standard_normal((4, 96, 96))
+                       .astype(np.float32)},
+        }
+        q = _quantize_int8(params)
+        assert q["enc"]["kernel"]["q8"].dtype == np.int8
+        assert q["enc"]["kernel"]["scale"].shape == (1, 64)
+        assert q["emb"]["embedding"]["scale"].shape == (512, 1)
+        assert q["blocks"]["kernel"]["scale"].shape == (4, 1, 96)
+        import ml_dtypes
+        assert q["enc"]["bias"].dtype == ml_dtypes.bfloat16  # small -> bf16
+        deq = jax.tree.map(np.asarray, dequantize_int8(
+            jax.tree.map(jnp.asarray, q)))
+        for path in (("enc", "kernel"), ("emb", "embedding"),
+                     ("blocks", "kernel")):
+            w = params[path[0]][path[1]]
+            scale = q[path[0]][path[1]]["scale"]
+            err = np.abs(deq[path[0]][path[1]].astype(np.float32) - w)
+            # 0.5*scale quantization + ~0.4% bf16 rounding of q*scale
+            bound = 0.5 * scale + 0.008 * np.abs(w) + 1e-7
+            assert (err <= np.broadcast_to(bound, w.shape)).all(), err.max()
+
+    def test_int8_artifact_av(self, av_export, tmp_path):
+        """int8 artifact: ~4x smaller kernels than fp32, logits track the
+        fp32 artifact at weight-only-quantization tolerance, predictions
+        stable — with zero ServingModel changes (dequant is in the graph)."""
+        import os
+        cfg, model, state, batch, out32 = av_export
+        out8 = str(tmp_path / "int8")
+        export_serving(cfg, model, state, batch, out8, batch_sizes=(2, 4),
+                       weights_dtype="int8")
+        srv32, srv8 = load_serving(out32), load_serving(out8)
+        assert srv8.meta["weights_dtype"] == "int8"
+        s32 = os.path.getsize(os.path.join(out32, "params.msgpack"))
+        s8 = os.path.getsize(os.path.join(out8, "params.msgpack"))
+        assert s8 < 0.45 * s32, (s8, s32)
+        feats = {k: np.asarray(batch[k]) for k in feature_keys(model)}
+        a, b = srv32(feats), srv8(feats)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0.25, atol=0.2)
+        assert (np.argmax(a["fused"], -1) == np.argmax(b["fused"], -1)).all()
+
+    def test_int8_scan_blocks_m3ae(self, tmp_path):
+        """Transformer family: embedding tables (per-row scales) + stacked
+        (L, ...) scan kernels (per-layer-per-out scales) quantize and the
+        artifact still tracks the live graph."""
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out = str(tmp_path / "art8")
+        export_serving(cfg, model, state, batch, out, batch_sizes=(2,),
+                       weights_dtype="int8")
+        srv = load_serving(out)
+        got = srv({k: np.asarray(batch[k]) for k in srv.feature_names})
+        out_m, fused = _direct(model, cfg, state, batch, 2)
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=0.25, atol=0.2)
+        assert (np.argmax(got["fused"], -1)
+                == np.argmax(np.asarray(fused), -1)).all()
 
 
 class TestExportCLIP:
