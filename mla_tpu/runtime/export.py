@@ -335,12 +335,12 @@ class ServingModel:
             f"request batch {n} exceeds the largest exported batch size "
             f"{self.batch_sizes[-1]}; re-export with a larger ladder")
 
-    def pad_request(self, features: Dict[str, np.ndarray],
-                    batch_size: Optional[int] = None):
-        """Validate + pad a request to a ladder rung: -> (padded, n, rung).
-        Padded rows carry valid=0 (masked by the gating). Shared by
-        __call__ and external callers (e.g. benchmarks) so request
-        preparation cannot drift from what the executable expects."""
+    def validate_request(self, features: Dict[str, np.ndarray]) -> int:
+        """Name + per-sample-shape checks for one request; returns its row
+        count. Shared by pad_request and the serve-side coalescing batcher
+        (which must reject a malformed request BEFORE merging it with other
+        clients' rows — a shape error surfacing mid-dispatch would fail the
+        whole coalesced batch)."""
         names = self.feature_names
         missing = [k for k in names if k not in features]
         if missing:
@@ -348,16 +348,32 @@ class ServingModel:
         n = int(np.asarray(features[names[0]]).shape[0])
         if n < 1:
             raise ValueError("serving request has 0 rows")
+        for k in names:
+            a = np.asarray(features[k])
+            want = tuple(self.meta["feature_specs"][k]["shape"])
+            if tuple(a.shape[1:]) != want:
+                raise ValueError(
+                    f"feature '{k}' per-sample shape {tuple(a.shape[1:])} != "
+                    f"exported {want}")
+            if a.shape[0] != n:
+                raise ValueError(
+                    f"feature '{k}' has {a.shape[0]} rows, expected {n}")
+        return n
+
+    def pad_request(self, features: Dict[str, np.ndarray],
+                    batch_size: Optional[int] = None):
+        """Validate + pad a request to a ladder rung: -> (padded, n, rung).
+        Padded rows carry valid=0 (masked by the gating). Shared by
+        __call__ and external callers (e.g. benchmarks) so request
+        preparation cannot drift from what the executable expects."""
+        names = self.feature_names
+        n = self.validate_request(features)
         b = batch_size if batch_size is not None else self._rung(n)
         padded = {}
         for k in names:
             a = np.asarray(features[k])
             spec = self.meta["feature_specs"][k]
             want = tuple(spec["shape"])
-            if tuple(a.shape[1:]) != want:
-                raise ValueError(
-                    f"feature '{k}' per-sample shape {tuple(a.shape[1:])} != "
-                    f"exported {want}")
             pad = np.zeros((b - n,) + want, dtype=spec["dtype"])
             padded[k] = np.concatenate([a.astype(spec["dtype"]), pad], axis=0)
         padded["valid"] = np.concatenate(

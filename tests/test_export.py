@@ -438,6 +438,207 @@ class TestHTTPServer:
             httpd.server_close()
 
 
+class TestCoalescing:
+    """Dynamic request coalescing (serve.Batcher): concurrent rung-sized
+    requests merge into one device dispatch. Contract: a coalesced batch ==
+    one merged request of the same rows (per-modality logits row-independent;
+    the dynamic fused head is batch-coupled by the reference's own
+    batch-axis gating, main.py:65-70, so composition is part of the
+    semantics there — same as run_batch chunking)."""
+
+    def test_dispatch_splits_exactly(self, av_export):
+        """_dispatch on a hand-built batch == one merged call, sliced."""
+        from concurrent.futures import Future
+
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in keys}
+        b = serve.Batcher(srv, wait_ms=1.0)
+        try:
+            slices = [(0, 2), (2, 3), (3, 4)]
+            items = []
+            for lo, hi in slices:
+                items.append(({k: v[lo:hi] for k, v in feats.items()},
+                              hi - lo, Future()))
+            b._dispatch(items, 4)
+            merged = srv(feats)
+            for (lo, hi), (_, _, fut) in zip(slices, items):
+                got = fut.result(timeout=5)
+                for k in merged:
+                    np.testing.assert_array_equal(got[k], merged[k][lo:hi])
+            assert b.stats == {"requests": 3, "rows": 4, "dispatches": 1,
+                               "coalesced_batches": 1}
+        finally:
+            b.close()
+
+    def test_concurrent_submits_coalesce(self, av_export):
+        """4 concurrent 1-row submits fill the 4-rung in ONE dispatch;
+        per-modality logits match direct single-request serving."""
+        import threading
+
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in keys}
+        b = serve.Batcher(srv, wait_ms=2000.0)
+        results = {}
+
+        def one(i):
+            results[i] = b.submit({k: v[i:i + 1] for k, v in feats.items()})
+
+        try:
+            ts = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=30)
+            assert b.stats["requests"] == 4
+            assert b.stats["dispatches"] == 1  # the rung filled, no timeout
+            assert b.stats["coalesced_batches"] == 1
+            for i in range(4):
+                direct = srv({k: v[i:i + 1] for k, v in feats.items()})
+                for m in ("a", "v"):  # row-independent heads; solo runs the
+                    # b=2 rung, coalesced the b=4 rung — different compiled
+                    # graphs, so bf16 graph-to-graph rounding tolerance
+                    np.testing.assert_allclose(
+                        results[i][f"logits_{m}"], direct[f"logits_{m}"],
+                        rtol=1e-2, atol=2e-3)
+        finally:
+            b.close()
+
+    def test_carry_when_rung_overflows(self, av_export):
+        """A request that would overflow the closing batch opens the next
+        one; both dispatches match solo serving exactly."""
+        import threading
+        import time as _time
+
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in keys}
+        b = serve.Batcher(srv, wait_ms=300.0)
+        results = {}
+
+        def one(name, lo, hi, delay):
+            _time.sleep(delay)
+            results[name] = b.submit(
+                {k: v[lo:hi] for k, v in feats.items()})
+
+        try:
+            ts = [threading.Thread(target=one, args=("first", 0, 3, 0.0)),
+                  threading.Thread(target=one, args=("second", 3, 4, 0.1))]
+            # second arrives while first's batch is open but 3+2>4 never
+            # happens here (3+1=4 fits) — use a 2-row second to force carry
+            ts[1] = threading.Thread(target=one, args=("second", 2, 4, 0.1))
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=30)
+            assert b.stats["dispatches"] == 2
+            assert b.stats["coalesced_batches"] == 0
+            for name, (lo, hi) in (("first", (0, 3)), ("second", (2, 4))):
+                direct = srv({k: v[lo:hi] for k, v in feats.items()})
+                for k in direct:
+                    np.testing.assert_array_equal(results[name][k],
+                                                  direct[k])
+        finally:
+            b.close()
+
+    def test_validation_precedes_enqueue(self, av_export):
+        """Malformed requests are rejected in the caller's thread and never
+        reach (or poison) a coalesced batch."""
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        keys = feature_keys(model)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in keys}
+        b = serve.Batcher(srv, wait_ms=1.0)
+        try:
+            bad = dict(feats)
+            bad["spec"] = bad["spec"][..., :5]  # wrong per-sample shape
+            with pytest.raises(ValueError, match="per-sample shape"):
+                b.submit(bad)
+            ragged = {k: (v[:1] if k == "spec" else v[:2])
+                      for k, v in feats.items()}
+            with pytest.raises(ValueError, match="rows, expected"):
+                b.submit(ragged)
+            over = {k: np.concatenate([v, v]) for k, v in feats.items()}
+            with pytest.raises(ValueError, match="largest exported rung"):
+                b.submit(over)
+            assert b.stats["requests"] == 0
+            got = b.submit({k: v[:1] for k, v in feats.items()})
+            direct = srv({k: v[:1] for k, v in feats.items()})
+            np.testing.assert_array_equal(got["fused"], direct["fused"])
+        finally:
+            b.close()
+
+    def test_http_coalescing_end_to_end(self, av_export):
+        """--coalesce_ms server: concurrent POSTs succeed, /stats reports
+        the batcher counters, oversized requests bypass to run_batch."""
+        import io
+        import threading
+        import urllib.request
+
+        from mla_tpu.runtime import serve
+
+        _, model, _, batch, out = av_export
+        srv = load_serving(out)
+        httpd = serve.make_server(srv, port=0, coalesce_ms=100.0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        keys = feature_keys(model)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in keys}
+
+        def post(rows):
+            buf = io.BytesIO()
+            np.savez(buf, **rows)
+            req = urllib.request.Request(f"{base}/predict",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req) as r:
+                with np.load(io.BytesIO(r.read())) as z:
+                    return {k: z[k] for k in z.files}
+
+        try:
+            outs = {}
+            ts = [threading.Thread(
+                target=lambda i=i: outs.update(
+                    {i: post({k: v[i:i + 1] for k, v in feats.items()})}))
+                for i in range(3)]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join(timeout=30)
+            assert set(outs) == {0, 1, 2}
+            for i in range(3):
+                assert outs[i]["fused"].shape == (1, srv.meta["n_classes"])
+            with urllib.request.urlopen(f"{base}/stats") as r:
+                stats = json.loads(r.read())
+            assert stats["coalesce_ms"] == 100.0
+            assert stats["requests"] >= 3
+            # oversized (5 rows > rung 4): bypasses the batcher, chunks
+            big = {k: np.concatenate([v, v[:1]]) for k, v in feats.items()}
+            got = post(big)
+            assert got["fused"].shape == (5, srv.meta["n_classes"])
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            httpd.batcher.close()
+
+
 @pytest.mark.slow
 class TestExportModal3QMF:
     def test_modal3_qmf_round_trip(self, tmp_path):
