@@ -6,7 +6,8 @@ in-graph int8 dequant LOSING to bf16 weights). The question this bench
 answers: does streaming int8 straight into the MXU tile loop (ops/
 q8_matmul.py) beat both?
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_q8.py [B]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_q8.py \
+           [B] [gemm,gemm,...]   (default: all four huge GEMM stacks)
 """
 
 import json
@@ -22,11 +23,11 @@ import numpy as np  # noqa: E402
 
 from mla_tpu.ops.q8_matmul import q8_matmul, q8_matmul_reference  # noqa: E402
 
-HUGE_GEMMS = {  # models/m3ae.py huge size table: emb 2560, mlp_ratio 4
-    "qkv": (2560, 7680),
-    "proj": (2560, 2560),
-    "fc1": (2560, 10240),
-    "fc2": (10240, 2560),
+HUGE_GEMMS = {  # models/m3ae.py huge size table: emb 1280, mlp_ratio 4
+    "qkv": (1280, 3840),
+    "proj": (1280, 1280),
+    "fc1": (1280, 5120),
+    "fc2": (5120, 1280),
 }
 
 
@@ -48,9 +49,12 @@ L = 32  # huge depth: one scan dispatch streams all 32 layers' weights,
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else list(HUGE_GEMMS)
     rng = np.random.default_rng(0)
     rows = []
     for name, (k, n) in HUGE_GEMMS.items():
+        if name not in only:
+            continue
         x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
         w = (rng.normal(size=(L, k, n)) / np.sqrt(k)).astype(np.float32)
         amax = np.max(np.abs(w), axis=1, keepdims=True)

@@ -33,14 +33,20 @@ def per_class_counts(logits, label, valid, n_classes):
     return jax.ops.segment_sum(correct, label, num_segments=n_classes)
 
 
-def eval_logits(model, cfg, params, batch_stats, batch, valid):
+def eval_logits(model, cfg, params, batch_stats, batch, valid, q8=None):
     """Inference forward shared by the eval step and the serving export:
     -> (out_m: {modality: (B, n_classes)}, fused: (B, n_classes)) with the
-    regime's eval-time fusion (valid() fusion branches, main.py:617-651)."""
+    regime's eval-time fusion (valid() fusion branches, main.py:617-651).
+
+    q8: optional dequant-scale collection for int8 serving params
+    (runtime/export.py:split_q8) — the int8 kernels sit in `params` at their
+    usual positions and QDense/m3ae read their scales from this collection."""
     modalities = modalities_of(cfg)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    if q8:
+        variables["q8"] = q8
     out = model.apply(variables, batch, train=False)
 
     if cfg.gs_flag:

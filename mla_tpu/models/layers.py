@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mla_tpu.ops.attention import fused_attention_qkv
+from mla_tpu.ops.q8_matmul import q8_matmul
 from mla_tpu.parallel import sp
 
 Dtype = Any
@@ -25,6 +26,42 @@ Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
 xavier_normal = nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class QDense(nn.Dense):
+    """nn.Dense that serves int8 weights through the dequant-fused GEMM.
+
+    Float path: bit-identical to nn.Dense (same param names/init, same
+    promote_dtype + dot_general + bias add), so training and fp32/bf16
+    serving are unchanged. When the restored 'kernel' is int8 — the
+    --export_dtype int8 serving graph, where runtime/export.py:split_q8
+    placed the quantized weight at the kernel position and its
+    per-output-channel scale in the parallel 'q8' variable collection —
+    the matmul routes through ops/q8_matmul.py so int8 is what streams
+    from HBM (1 byte/weight vs the ~5 of a materialized in-graph dequant).
+    """
+
+    @nn.compact
+    def __call__(self, inputs):
+        kernel = self.param("kernel", self.kernel_init,
+                            (jnp.shape(inputs)[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype) if self.use_bias else None
+        if kernel.dtype == jnp.int8:
+            scale = self.get_variable("q8", "kernel_scale")
+            y = q8_matmul(inputs, kernel, scale)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y.astype(self.dtype) if self.dtype is not None else y
+        inputs, kernel, bias = self.promote_dtype(inputs, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jax.lax.dot_general(
+            inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
+            precision=self.precision)
+        if bias is not None:
+            y += jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
 
 
 class MultiHeadAttention(nn.Module):
@@ -40,15 +77,15 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, padding_mask: Optional[jnp.ndarray] = None):
-        qkv = nn.Dense(3 * self.dim, use_bias=self.use_bias, dtype=self.dtype,
-                       kernel_init=xavier_uniform, name="qkv")(x)
+        qkv = QDense(3 * self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                     kernel_init=xavier_uniform, name="qkv")(x)
         # transpose-free: the fused GEMM output feeds the flat Pallas kernel
         # directly and the result lands in proj's layout (ops/attention.py
         # flat kernels; falls back to the (B,H,S,D) path off-TPU / under
         # TP/SP / at very long sequences — identical math)
         out = fused_attention_qkv(qkv, padding_mask, self.num_heads)
-        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier_uniform,
-                        name="proj")(out)
+        return QDense(self.dim, dtype=self.dtype, kernel_init=xavier_uniform,
+                      name="proj")(out)
 
 
 class Mlp(nn.Module):
@@ -60,11 +97,11 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype,
-                     kernel_init=xavier_uniform, name="fc1")(x)
+        x = QDense(self.mlp_ratio * self.dim, dtype=self.dtype,
+                   kernel_init=xavier_uniform, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=xavier_uniform,
-                        name="fc2")(x)
+        return QDense(self.out_dim, dtype=self.dtype,
+                      kernel_init=xavier_uniform, name="fc2")(x)
 
 
 class M3AEBlock(nn.Module):

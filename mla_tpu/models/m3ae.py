@@ -22,11 +22,13 @@ import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mla_tpu.models.layers import M3AEBlock, xavier_uniform
 from mla_tpu.ops.pos_embed import (get_1d_sincos_pos_embed,
                                    get_2d_sincos_pos_embed_square)
+from mla_tpu.ops.q8_matmul import q8_matmul
 
 Dtype = Any
 
@@ -69,6 +71,13 @@ class M3AEConfig:
                                 # instead of storing all `depth` residual
                                 # sets — the single-chip memory lever for
                                 # the large/huge sizes. Requires scan_blocks.
+    remat_policy: str = "full"  # 'full': recompute everything (max memory
+                                # win); 'dots': save the four GEMM outputs
+                                # per block (dots_with_no_batch_dims_
+                                # saveable) so the backward recomputes only
+                                # LN/gelu/attention — buys back most of the
+                                # remat FLOP tax (core/config.py
+                                # remat_policy).
 
     @property
     def emb_dim(self):
@@ -98,6 +107,9 @@ class M3AEEncoder(nn.Module):
             # silently lose the advertised memory lever
             raise ValueError("remat_blocks requires scan_blocks (the remat "
                              "wrapper lives on the scanned cell)")
+        if c.remat_policy not in ("full", "dots"):
+            raise ValueError(f"remat_policy must be 'full' or 'dots', got "
+                             f"{c.remat_policy!r}")
         # Embedding params declared eagerly (fixed shapes) so a single instance
         # supports text-only, image-only and joint calls with one param tree.
         self.text_embedding_table = self.param(
@@ -119,10 +131,18 @@ class M3AEEncoder(nn.Module):
             # (identical math to the unrolled stack; HLO is ~depth-x smaller,
             # which cuts cold XLA compiles of the ViT-Base step from minutes
             # to tens of seconds). Same stacked layout pp consumes.
-            cell = nn.remat(M3AEBlock) if c.remat_blocks else M3AEBlock
+            if c.remat_blocks:
+                policy = None if c.remat_policy == "full" else \
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                cell = nn.remat(M3AEBlock, policy=policy)
+            else:
+                cell = M3AEBlock
             self.blocks_scanned = nn.scan(
                 cell,
-                variable_axes={"params": 0},
+                # 'q8': per-layer int8 dequant scales ride the same stacked
+                # axis as the params they belong to (int8 serving artifacts;
+                # runtime/export.py split_q8). A no-op when absent.
+                variable_axes={"params": 0, "q8": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=c.depth,
@@ -186,10 +206,17 @@ class M3AEEncoder(nn.Module):
         if image is not None:
             pos = jnp.asarray(
                 get_2d_sincos_pos_embed_square(c.emb_dim, image.shape[1]))
-            x = (jnp.matmul(image.astype(self.dtype),
-                            self.image_kernel.astype(self.dtype),
-                            preferred_element_type=jnp.float32).astype(self.dtype)
-                 + self.image_bias.astype(self.dtype)) + pos
+            if self.image_kernel.dtype == jnp.int8:
+                # int8 serving artifact (export.split_q8): dequant-fused GEMM
+                sc = self.get_variable("q8", "image_kernel_scale")
+                proj = q8_matmul(image, self.image_kernel,
+                                 sc).astype(self.dtype)
+            else:
+                proj = jnp.matmul(
+                    image.astype(self.dtype),
+                    self.image_kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+            x = (proj + self.image_bias.astype(self.dtype)) + pos
             if c.use_type_embedding:
                 x = x + self.encoder_image_type_embedding
             parts.append(x.astype(self.dtype))
@@ -197,7 +224,21 @@ class M3AEEncoder(nn.Module):
                                    dtype=jnp.float32))
         if text is not None:
             pos = jnp.asarray(get_1d_sincos_pos_embed(c.emb_dim, text.shape[1]))
-            x = jnp.take(self.text_embedding_table, text, axis=0) + pos
+            tbl = self.text_embedding_table
+            if tbl.dtype == jnp.int8:
+                # int8 table with per-ROW scales: gather the (B, L) rows
+                # int8-side, dequantize only the gathered slice — the full
+                # (vocab, emb) table never materializes in float.
+                sc = self.get_variable("q8", "text_embedding_scale")
+                emb = (jnp.take(tbl, text, axis=0).astype(jnp.float32)
+                       * jnp.take(sc.reshape(-1), text, axis=0)[..., None])
+                x = emb + pos
+            else:
+                from mla_tpu.parallel import fsdp
+                # identity unless --fsdp installed the batch constraint —
+                # keeps the lookup's cotangent batch-sharded so the
+                # embedding-grad scatter partitions cleanly (fsdp.py)
+                x = fsdp.constrain_embed(jnp.take(tbl, text, axis=0)) + pos
             if c.use_type_embedding:
                 x = x + self.encoder_text_type_embedding
             parts.append(x.astype(self.dtype))

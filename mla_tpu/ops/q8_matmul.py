@@ -1,16 +1,26 @@
 """Dequant-fused int8 GEMM: x @ (q8 * scale) with int8 streamed from HBM.
 
 The --export_dtype int8 serving artifact stores the big kernels as symmetric
-per-output-channel int8 (runtime/export.py:_quantize_int8) and dequantizes
-in-graph. Measured on-chip (BASELINE.md int8 analysis): XLA materializes the
-dequantized bf16 tree instead of fusing the convert×scale into the dot
-operand read, so per-weight HBM traffic is ~5 bytes (s8 read + bf16 write +
-bf16 read) vs bf16's flat 2 — huge b=1 serving is 15.8 ms vs bf16's 8.8.
+per-output-channel int8 (runtime/export.py:_quantize_int8) and round-3
+dequantized them in-graph. Measured on-chip (BASELINE.md int8 analysis): XLA
+materializes the dequantized bf16 tree instead of fusing the convert×scale
+into the dot operand read, so per-weight HBM traffic is ~5 bytes (s8 read +
+bf16 write + bf16 read) vs bf16's flat 2 — huge b=1 serving was 15.8 ms vs
+bf16's 8.8.
 
 This kernel closes that gap: the int8 weight tile is converted to bf16 *in
-VMEM* and fed straight into the MXU, so exactly 1 byte/weight crosses HBM.
-For the weight-read-bound b<=16 serving regime that is the whole story —
-projected huge b=1 ~4 ms (1.34 GB at HBM rate + activations).
+VMEM* and fed straight into the MXU, so exactly 1 byte/weight crosses HBM
+when the row count fits one row-block (the whole b<=16 serving regime). For
+larger batches the grid row-blocks and the weight matrix is re-read
+ceil(rows/block_m) times — by then the GEMM is compute-bound and the extra
+int8 traffic is noise.
+
+Block choice is step-count-first: at serving row counts the per-grid-step
+dispatch overhead (~1 us) dominates long before HBM does, so the chooser
+takes the FEWEST grid steps whose blocks fit a VMEM budget — typically the
+whole K dimension and 1-3 MB weight tiles (measured on v5e: 256x256 blocks
+ran 32-layer huge qkv at 64 GB/s of weight traffic; see BASELINE.md round-4
+for the retuned numbers).
 
 Numerics: the export-time law is per-output-channel, so the scale commutes
 through the contraction exactly — (x @ (W*s))[b,n] == (x @ W)[b,n] * s[n].
@@ -20,9 +30,11 @@ than the XLA path's pre-scaled bf16 weights (pinned vs both references in
 tests/test_q8_matmul.py).
 
 Dispatch mirrors ops/fused_block.py: Pallas on TPU when shapes tile;
-otherwise the jnp reference (bit-equal to what the exported graph does
-today). Standalone op for now — wiring it under the int8 artifact's Dense
-sites is the integration step (TODO round-4).
+otherwise the jnp reference (bit-equal to what the round-3 exported graph
+did). Consumed by models/layers.py:QDense — the serving graph's Dense sites
+route here whenever their restored kernel is int8 (runtime/export.py
+split_q8 puts it there). Forward-only: serving artifacts never
+differentiate (no custom VJP — differentiating the Pallas path raises).
 """
 
 from __future__ import annotations
@@ -36,25 +48,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def q8_matmul_reference(x, q8, scale, dtype=jnp.bfloat16):
-    """What the exported int8 graph computes today: dequantize to bf16
+    """What the round-3 exported int8 graph computed: dequantize to bf16
     (export.dequantize_int8), then the module-dtype dot (nn.Dense)."""
     w = q8.astype(dtype) * scale.astype(dtype)
     return jnp.dot(x.astype(dtype), w)
 
 
-def _pick_block(dim: int, want: int) -> int:
-    """Largest power-of-two block <= want that divides dim (>= 128 for the
-    lane axis); 0 if none — caller falls back to the reference path."""
-    b = want
-    while b >= 128:
-        if dim % b == 0:
-            return b
-        b //= 2
-    return 0
+def _divisors_desc(dim: int, cap: int, mult: int = 128):
+    """Divisors of ``dim`` that are multiples of ``mult`` (lane/sublane
+    tiling), <= cap, descending. Empty -> caller falls back to jnp."""
+    out = []
+    d = (min(dim, cap) // mult) * mult
+    while d >= mult:
+        if dim % d == 0:
+            out.append(d)
+        d -= mult
+    return out
+
+
+# VMEM budget for one grid step's working set (double-buffered x/w blocks,
+# fp32 accumulator, bf16 output block). v5e has 16 MB more is headroom for
+# Mosaic's own scratch.
+_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def _choose_blocks(rows: int, k: int, n: int, cap_m: int, cap_k: int,
+                   cap_n: int):
+    """(bm, bk, bn) minimizing grid steps subject to the VMEM budget;
+    None when K or N has no 128-multiple divisor (fallback path)."""
+    bm = min(-(-rows // 16) * 16, cap_m)
+    best = None
+    for bk in _divisors_desc(k, cap_k):
+        for bn in _divisors_desc(n, cap_n):
+            vmem = 2 * (bm * bk * 2) + 2 * (bk * bn) + bm * bn * 6
+            if vmem > _VMEM_BUDGET:
+                continue
+            steps = (k // bk) * (n // bn)
+            key = (steps, -(bk * bn))
+            if best is None or key < best[0]:
+                best = (key, (bm, bk, bn))
+    return best[1] if best else None
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -65,59 +102,66 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc):
         x_ref[...], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    @pl.when(k == pl.num_programs(1) - 1)
+    @pl.when(k == pl.num_programs(2) - 1)
     def _flush():
         o_ref[...] = (acc[...] * s_ref[...].astype(jnp.float32)
                       ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
-                                             "interpret"))
-def _q8_matmul_pallas(x, q8, scale, block_n, block_k, interpret):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def _q8_matmul_pallas(x, q8, scale, bm, bn, bk, interpret):
     b, kdim = x.shape
     _, n = q8.shape
-    rows = max(8, -(-b // 8) * 8)  # sublane-align the (tiny) row axis
+    rows = -(-b // bm) * bm  # bf16 sublane-aligned: bm is a multiple of 16
     xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
         x.astype(jnp.bfloat16))
-    grid = (n // block_n, kdim // block_k)
+    grid = (rows // bm, n // bn, kdim // bk)
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, block_k), lambda j, k: (0, k),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda j, k: (k, j),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j, k: (0, j),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, block_n), lambda j, k: (0, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((rows, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
     )(xp, q8, scale)
     return out[:b]
 
 
-def q8_matmul(x, q8, scale, *, block_n: int = 512, block_k: int = 512,
-              interpret: bool = False):
-    """x (B, K) float -> (B, N) bf16 via the int8 weight (K, N) and its
+def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
+              block_k: int = 2048, interpret: bool = False):
+    """x (..., K) float -> (..., N) bf16 via the int8 weight (K, N) and its
     per-output-channel scale ((1, N) or (N,)).
 
-    Pallas when K and N tile to (block_k, block_n) (halving blocks down to
-    128 as needed); jnp reference otherwise. interpret=True runs the kernel
-    in Pallas interpret mode (CPU test tier)."""
-    if x.ndim != 2 or q8.ndim != 2:
-        raise ValueError(f"q8_matmul takes 2-D operands, got x{x.shape} "
-                         f"w{q8.shape}")
+    Pallas on TPU when K and N tile (128-multiple divisors within the
+    block caps); jnp reference otherwise. Leading dims are flattened into
+    the GEMM row axis; the row block is sublane-padded (multiple of 16).
+    block_* are upper bounds — the chooser takes the fewest grid steps
+    that fit VMEM. interpret=True runs the kernel in Pallas interpret mode
+    (CPU test tier).
+    """
+    if q8.ndim != 2:
+        raise ValueError(f"q8_matmul takes a 2-D weight, got w{q8.shape}")
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
     scale = scale.reshape(1, -1)
     if scale.shape[1] != q8.shape[1]:
         raise ValueError(f"scale {scale.shape} is not per-output-channel "
                          f"for w{q8.shape}")
-    bn = _pick_block(q8.shape[1], block_n)
-    bk = _pick_block(q8.shape[0], block_k)
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not (on_tpu and bn and bk):
-        return q8_matmul_reference(x, q8, scale)
-    return _q8_matmul_pallas(x, q8, scale, bn, bk, interpret)
+    blocks = _choose_blocks(x2.shape[0], q8.shape[0], q8.shape[1],
+                            block_m, block_k, block_n) if on_tpu else None
+    if blocks is None:
+        out = q8_matmul_reference(x2, q8, scale)
+    else:
+        bm, bk, bn = blocks
+        out = _q8_matmul_pallas(x2, q8, scale, bm, bn, bk, interpret)
+    return out.reshape(lead + (q8.shape[1],)) if x.ndim != 2 else out

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from mla_tpu.ops.q8_matmul import (q8_matmul, q8_matmul_reference,
-                                   _pick_block)
+                                   _choose_blocks, _divisors_desc)
 
 
 def _case(b, k, n, seed=0):
@@ -60,9 +60,33 @@ class TestQ8Matmul:
                          interpret=True)
         np.testing.assert_array_equal(np.asarray(flat), np.asarray(twod))
         with pytest.raises(ValueError, match="2-D"):
-            q8_matmul(x[None], q8, scale)
+            q8_matmul(x, q8[None], scale)
         with pytest.raises(ValueError, match="per-output-channel"):
             q8_matmul(x, q8, scale[:, :64])
+
+    def test_leading_dims_flatten(self):
+        """(B, S, K) inputs flatten into the GEMM row axis — the QDense
+        call shape inside the ViT blocks."""
+        x, q8, scale, _ = _case(6, 256, 128)
+        x3 = x.reshape(2, 3, 256)
+        got = q8_matmul(x3, q8, scale, block_n=128, block_k=128,
+                        interpret=True)
+        ref = q8_matmul(x, q8, scale, block_n=128, block_k=128,
+                        interpret=True)
+        assert got.shape == (2, 3, 128)
+        np.testing.assert_array_equal(np.asarray(got).reshape(6, 128),
+                                      np.asarray(ref))
+
+    def test_row_blocked_large_batch(self):
+        """rows > block_m row-blocks the grid; result matches the
+        single-block law (ADVICE r3: rows pad to a multiple of 16)."""
+        x, q8, scale, _ = _case(70, 256, 128, seed=5)
+        got = q8_matmul(x, q8, scale, block_m=32, block_n=128,
+                        block_k=128, interpret=True)
+        exact = np.asarray(x) @ (np.asarray(q8, np.float32)
+                                 * np.asarray(scale))
+        np.testing.assert_allclose(np.asarray(got, np.float32), exact,
+                                   rtol=2e-2, atol=2e-2)
 
     def test_fallback_on_untileable_shapes(self):
         """K=100 has no >=128 divisor -> jnp reference path, same law."""
@@ -71,11 +95,18 @@ class TestQ8Matmul:
         ref = q8_matmul_reference(x, q8, scale)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
-    def test_pick_block(self):
-        assert _pick_block(2560, 512) == 512
-        assert _pick_block(10240, 512) == 512
-        assert _pick_block(384, 512) == 128
-        assert _pick_block(100, 512) == 0
+    def test_block_chooser(self):
+        # whole-K, few-step blocks for the serving row counts
+        bm, bk, bn = _choose_blocks(16, 1280, 3840, 512, 2048, 2048)
+        assert bm == 16 and bk == 1280
+        assert (1280 // bk) * (3840 // bn) <= 2
+        # VMEM-constrained at big row blocks
+        bm, bk, bn = _choose_blocks(4096, 1280, 3840, 512, 2048, 2048)
+        assert bm == 512
+        assert 2 * (bm * bk * 2) + 2 * bk * bn + bm * bn * 6 <= 10 * 2 ** 20
+        # no 128-multiple divisor -> fallback
+        assert _choose_blocks(8, 100, 128, 512, 2048, 2048) is None
+        assert _divisors_desc(384, 512) == [384, 128]
 
     def test_matches_export_quantization_law(self):
         """End-to-end with the real exporter's quantizer: q8_matmul on its
