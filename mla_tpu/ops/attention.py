@@ -473,6 +473,19 @@ def flat_attention_fits(num_heads: int, s: int, d: int,
 # (B,H,S,D)-layout kernels (whose rules GSPMD can split over heads).
 _FLAT_ENABLED = True
 
+# Trace-time switch: route EVERY attention through the pure-jnp reference
+# (no Pallas custom calls at all). Used when tracing graphs that must be
+# serializable AND partitionable by stock GSPMD — e.g. the TP-sharded
+# serving artifact (runtime/export.py export_serving_sharded): a
+# custom_partitioning handler is a Python callback and does not survive
+# jax.export serialization.
+_FORCE_REFERENCE = False
+
+
+def set_reference_attention(enabled: bool):
+    global _FORCE_REFERENCE
+    _FORCE_REFERENCE = bool(enabled)
+
 
 def set_flat_attention(enabled: bool):
     global _FLAT_ENABLED
@@ -509,6 +522,7 @@ def fused_attention_qkv(qkv, padding_mask, num_heads: int):
     c = c3 // 3
     d = c // num_heads
     if (jax.default_backend() == "tpu" and _FLAT_ENABLED
+            and not _FORCE_REFERENCE
             and flat_attention_fits(num_heads, s, d, qkv.dtype.itemsize)):
         if padding_mask is None:
             padding_mask = jnp.zeros((b, s), dtype=jnp.float32)
@@ -666,7 +680,8 @@ _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 def fused_attention(q, k, v, padding_mask=None, scale=None):
     """Dispatch: Pallas kernel (with custom VJP) on TPU at the default scale,
     XLA reference elsewhere."""
-    if jax.default_backend() == "tpu" and scale is None:
+    if jax.default_backend() == "tpu" and scale is None \
+            and not _FORCE_REFERENCE:
         if padding_mask is None:
             padding_mask = jnp.zeros(
                 (q.shape[0], q.shape[2]), dtype=jnp.float32)

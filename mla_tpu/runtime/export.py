@@ -64,17 +64,20 @@ def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False):
     (B,), 1.0 for real rows). Everything else from the training batch dict
     (label/idx) is inference-irrelevant and excluded from the artifact.
     dequant=True: params carry int8 {'q8','scale'} nodes (weights_dtype
-    'int8') that are dequantized to bf16 INSIDE the graph — XLA fuses the
-    convert+multiply into the consuming matmul's operand read, so int8 is
-    what streams from HBM.
+    'int8'). split_q8 routes the big Dense kernels and the m3ae embedding
+    table to int8-native consumers (QDense -> ops/q8_matmul.py Pallas GEMM;
+    the gather-then-dequantize embedding path) so int8 is what streams from
+    HBM, and dequantizes the remainder (convs, heads) in-graph as before.
     """
     modalities = modalities_of(cfg)
 
     def serve(params, batch_stats, features):
-        p = dequantize_int8(params) if dequant else params
+        q8 = None
+        if dequant:
+            params, q8 = split_q8(params)
         valid = features["valid"]
-        out_m, fused = eval_logits(model, cfg, p, batch_stats, features,
-                                   valid)
+        out_m, fused = eval_logits(model, cfg, params, batch_stats, features,
+                                   valid, q8=q8)
         result = {"fused": fused.astype(jnp.float32)}
         for m in modalities:
             result[f"logits_{m}"] = out_m[m].astype(jnp.float32)
@@ -153,14 +156,17 @@ def _cast_weights(params, dtype: str):
 _Q8_MIN_SIZE = 4096  # don't bother quantizing tiny leaves
 
 
+_Q8_NAMES = ("kernel", "embedding", "text_embedding", "image_kernel")
+
+
 def _q8_axes(name: str, ndim: int):
     """Reduction axes for the per-channel max — the scale broadcasts back.
-    'embedding' (vocab, C): per-ROW (each row is one token's vector; a
+    Embedding tables (vocab, C): per-ROW (each row is one token's vector; a
     per-column scale would couple all 30k tokens). Kernels: per-output-
     channel (last axis); stacked/conv kernels (ndim>=3) also keep axis 0
     (the --scan_blocks layer axis / conv kh) for per-slice scales —
     finer granularity costs nothing and never hurts accuracy."""
-    if name == "embedding":
+    if name in ("embedding", "text_embedding"):
         return (ndim - 1,)
     if ndim == 2:
         return (0,)
@@ -178,8 +184,7 @@ def _quantize_int8(params):
         a = np.asarray(tree)
         if not np.issubdtype(a.dtype, np.floating):
             return a
-        if name in ("kernel", "embedding") and a.ndim >= 2 \
-                and a.size >= _Q8_MIN_SIZE:
+        if name in _Q8_NAMES and a.ndim >= 2 and a.size >= _Q8_MIN_SIZE:
             amax = np.max(np.abs(a), axis=_q8_axes(name, a.ndim),
                           keepdims=True)
             scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
@@ -201,6 +206,48 @@ def dequantize_int8(params):
             return {k: walk(v) for k, v in tree.items()}
         return tree
     return walk(params)
+
+
+# Dense sites whose modules consume int8 kernels directly through the
+# dequant-fused Pallas GEMM (models/layers.py:QDense, ops/q8_matmul.py):
+# the ViT qkv/proj/fc1/fc2 projections — >97% of the big models' weights.
+_Q8_FUSED_PARENTS = frozenset(("qkv", "proj", "fc1", "fc2"))
+# Encoder-level leaves models/m3ae.py consumes int8-side itself.
+_Q8_FUSED_NAMES = frozenset(("text_embedding", "image_kernel"))
+
+
+def split_q8(params):
+    """{'q8','scale'} tree -> (params', q8_scales) for the fused int8 path.
+
+    Where the consuming module can stream int8 (QDense Dense sites, the
+    m3ae text-embedding gather and image-patch GEMM), the int8 array goes
+    back in the PARAM position (flax validates param shape, not dtype) and
+    its scale into a mirrored tree served as the 'q8' variable collection
+    (leaf name + '_scale'). Everything else — conv kernels, fusion heads,
+    anything a consumer reads as a plain array — dequantizes in place
+    exactly as the round-3 graphs did. Pure tree restructuring: inside the
+    traced serving fn this costs nothing.
+    """
+    def walk(tree, parent=""):
+        if not isinstance(tree, dict):
+            return tree, None
+        if set(tree.keys()) == {"q8", "scale"}:
+            return (tree["q8"].astype(jnp.bfloat16)
+                    * tree["scale"].astype(jnp.bfloat16)), None
+        out, scales = {}, {}
+        for k, v in tree.items():
+            if (isinstance(v, dict) and set(v.keys()) == {"q8", "scale"}
+                    and (k in _Q8_FUSED_NAMES
+                         or (k == "kernel" and parent in _Q8_FUSED_PARENTS))):
+                out[k] = v["q8"]
+                scales[f"{k}_scale"] = v["scale"]
+                continue
+            out[k], sub = walk(v, k)
+            if sub:
+                scales[k] = sub
+        return out, scales
+    p, scales = walk(params)
+    return p, (scales or {})
 
 
 def export_serving(cfg: MLAConfig, model, state, example_batch,
@@ -281,6 +328,156 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
     return out_dir
+
+
+def export_serving_sharded(cfg: MLAConfig, model, state, example_batch,
+                           out_dir: str, mesh,
+                           batch_sizes: Sequence[int] = (1,),
+                           weights_dtype: str = "float32") -> str:
+    """TP-sharded serving artifact: the eval forward jitted over ``mesh``
+    with Megatron column/row shardings on the transformer kernels
+    (parallel/tp.py leaf rules), serialized WITH its shardings — per-chip
+    weight residency ~1/m for the big stacks, so e.g. the 1.34B 'huge'
+    config serves from ~1/m of its bytes per chip. Load with
+    load_serving_sharded on a same-shape mesh.
+
+    Two trace-time differences from the single-device artifact:
+      * attention routes through the pure-jnp reference
+        (ops/attention.py set_reference_attention) — a custom_partitioning
+        handler is a Python callback and cannot survive jax.export
+        serialization, and stock GSPMD shards the plain dots fine;
+      * weights_dtype 'int8' is rejected: the {'q8','scale'} nodes don't
+        carry the module path names the TP rules key on.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mla_tpu.ops import attention as attn_lib
+    from mla_tpu.parallel import tp
+    from mla_tpu.parallel.mesh import MODEL_AXIS
+
+    if weights_dtype == "int8":
+        raise ValueError("sharded export supports float32/bfloat16 weights")
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    if n_model <= 1:
+        raise ValueError(f"mesh {dict(mesh.shape)} has no model axis > 1")
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    os.makedirs(out_dir, exist_ok=True)
+    keys = feature_keys(model)
+    serve = make_serving_fn(model, cfg)
+    params = _cast_weights(host_fetch(state.params), weights_dtype)
+    batch_stats = host_fetch(state.batch_stats) if state.batch_stats else {}
+    example = {k: np.asarray(example_batch[k]) for k in keys}
+    write = jax.process_index() == 0
+
+    p_shard = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, tp.leaf_pspec(path, leaf, n_model)), params)
+    repl = NamedSharding(mesh, P())
+    p_spec = jax.tree.map(
+        lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+        params, p_shard)
+    bs_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=repl),
+        batch_stats)
+    disabled = (jax_export.DisabledSafetyCheck.custom_call("Sharding"),)
+
+    attn_lib.set_reference_attention(True)
+    try:
+        for b in batch_sizes:
+            f_spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=repl)
+                      for k, v in _specs_for(example, keys, b).items()}
+            fj = jax.jit(serve, out_shardings=repl)
+            exp = jax_export.export(fj, disabled_checks=disabled)(
+                p_spec, bs_spec, f_spec)
+            if write:
+                with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"),
+                          "wb") as f:
+                    f.write(bytes(exp.serialize()))
+    finally:
+        attn_lib.set_reference_attention(False)
+
+    if not write:
+        return out_dir
+    with open(os.path.join(out_dir, _PARAMS), "wb") as f:
+        f.write(flax_ser.msgpack_serialize(jax.tree.map(np.asarray, params)))
+    with open(os.path.join(out_dir, _BATCH_STATS), "wb") as f:
+        f.write(flax_ser.msgpack_serialize(
+            jax.tree.map(np.asarray, batch_stats)))
+    meta = {
+        "family": type(model).__name__,
+        "modalities": list(modalities_of(cfg)),
+        "n_classes": cfg.n_classes,
+        "batch_sizes": batch_sizes,
+        "weights_dtype": weights_dtype,
+        "mesh_shape": [int(mesh.shape.get("data", 1)), int(n_model)],
+        "feature_specs": {
+            k: {"shape": list(example[k].shape[1:]),
+                "dtype": str(_boundary_dtype(example[k].dtype))}
+            for k in keys},
+        "config": {"dataset": cfg.dataset, "lorb": cfg.lorb,
+                   "modal3": cfg.modal3, "clip": cfg.clip,
+                   "gs_flag": cfg.gs_flag, "modulation": cfg.modulation,
+                   "dynamic": cfg.dynamic,
+                   "fusion_method": cfg.fusion_method},
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class ShardedServingModel:
+    """Deserialized TP-sharded artifact: weights live Megatron-sharded over
+    a (data, model) mesh rebuilt from meta['mesh_shape']; __call__ pads a
+    request to a rung and runs the sharded executable. The placement rules
+    are recomputed with the same parallel/tp.py leaf rules the exporter
+    used — framework code only, no model zoo import."""
+
+    def __init__(self, out_dir: str, mesh=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mla_tpu.parallel import tp
+        from mla_tpu.parallel.mesh import make_mesh
+
+        with open(os.path.join(out_dir, _META)) as f:
+            self.meta = json.load(f)
+        shape = tuple(self.meta["mesh_shape"])
+        self.mesh = mesh if mesh is not None else make_mesh(mesh_shape=shape)
+        if (self.mesh.shape.get("data", 1),
+                self.mesh.shape.get("model", 1)) != shape:
+            raise ValueError(f"artifact was exported for mesh {shape}, "
+                             f"got {dict(self.mesh.shape)}")
+        n_model = shape[1]
+        with open(os.path.join(out_dir, _PARAMS), "rb") as f:
+            params = flax_ser.msgpack_restore(f.read())
+        with open(os.path.join(out_dir, _BATCH_STATS), "rb") as f:
+            batch_stats = flax_ser.msgpack_restore(f.read())
+        self._repl = NamedSharding(self.mesh, P())
+        self._params = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(leaf, NamedSharding(
+                self.mesh, tp.leaf_pspec(path, leaf, n_model))), params)
+        self._batch_stats = jax.device_put(batch_stats, self._repl)
+        self.batch_sizes = self.meta["batch_sizes"]
+        self._calls = {}
+        for b in self.batch_sizes:
+            with open(os.path.join(out_dir, f"serving_b{b}.jaxexp"),
+                      "rb") as f:
+                exp = jax_export.deserialize(bytearray(f.read()))
+            self._calls[b] = jax.jit(exp.call)
+
+    feature_names = property(lambda self: list(self.meta["feature_specs"]))
+
+    def __call__(self, features: Dict[str, np.ndarray]):
+        # request plumbing shared with ServingModel (methods grafted after
+        # its definition below)
+        padded, n, b = self.pad_request(features)
+        padded = jax.device_put(padded, self._repl)
+        out = self._calls[b](self._params, self._batch_stats, padded)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+def load_serving_sharded(out_dir: str, mesh=None) -> "ShardedServingModel":
+    return ShardedServingModel(out_dir, mesh)
 
 
 class ServingModel:
@@ -414,3 +611,11 @@ def export_from_driver(cfg: MLAConfig, model, state, sample_batch) -> str:
           f"(batch sizes {sorted(set(int(b) for b in sizes))}, "
           f"weights {cfg.export_dtype})")
     return path
+
+
+# ShardedServingModel shares the single-device loader's request plumbing
+# (same meta layout), grafted here because ServingModel is defined later in
+# the file than the sharded class that borrows from it.
+ShardedServingModel.validate_request = ServingModel.validate_request
+ShardedServingModel._rung = ServingModel._rung
+ShardedServingModel.pad_request = ServingModel.pad_request

@@ -51,6 +51,12 @@ import numpy as np
 from mla_tpu.runtime.export import load_serving
 
 
+class DispatchError(RuntimeError):
+    """A device-side failure while running a request (as opposed to request
+    validation): surfaces as HTTP 500, not 400 — the client's request was
+    well-formed."""
+
+
 def run_batch(srv, feats: dict, chunk: int | None = None):
     """Chunk a request of any length through the artifact's batch ladder."""
     names = srv.feature_names
@@ -112,6 +118,8 @@ class Batcher:
 
     def submit(self, feats: dict) -> dict:
         """Validate, enqueue, block until this request's logits return."""
+        if self._stop.is_set():
+            raise DispatchError("batcher closed")
         names = self.srv.feature_names
         feats = {k: np.asarray(v) for k, v in feats.items() if k in names}
         n = self.srv.validate_request(feats)
@@ -121,13 +129,28 @@ class Batcher:
                 f"exported rung ({self.max_rows} rows), got {n}; chunk "
                 f"large requests through run_batch")
         fut: Future = Future()
-        self._q.put((feats, n, fut))
+        self._q.put((feats, n, fut, time.monotonic()))
         return fut.result()
 
     def close(self):
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout=5)
+        # Resolve anything still queued/carried so no handler thread is left
+        # blocked on fut.result() forever (advisor r3).
+        stranded = []
+        if self._carry is not None:
+            stranded.append(self._carry)
+            self._carry = None
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                stranded.append(item)
+        for _, _, fut, _ in stranded:
+            fut.set_exception(DispatchError("batcher closed"))
 
     def _next(self, timeout):
         if self._carry is not None:
@@ -145,11 +168,14 @@ class Batcher:
                 continue
             batch = [first]
             rows = first[1]
-            deadline = time.monotonic() + self.wait_s
+            # Deadline from the OLDEST item's enqueue time, not dequeue: a
+            # carried-over request has already burned its wait window, so
+            # the batch it opens closes as soon as the immediately-available
+            # queue is drained (advisor r3 — total added wait stays ~wait_ms
+            # plus the preceding dispatch, not 2x).
+            deadline = first[3] + self.wait_s
             while rows < self.max_rows:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
+                left = max(deadline - time.monotonic(), 0.0)
                 try:
                     item = self._next(timeout=left)
                 except queue.Empty:
@@ -176,11 +202,13 @@ class Batcher:
             with self.lock:
                 out = self.srv(merged)
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
-            for _, _, fut in batch:
-                fut.set_exception(e)
+            # requests were validated at submit — a failure here is a
+            # server/device fault, typed so the HTTP layer answers 500
+            for _, _, fut, _ in batch:
+                fut.set_exception(DispatchError(str(e)))
             return
         lo = 0
-        for _, n, fut in batch:
+        for _, n, fut, _ in batch:
             fut.set_result({k: v[lo:lo + n] for k, v in out.items()})
             lo += n
 
@@ -228,6 +256,10 @@ def make_server(srv, port: int, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 with np.load(io.BytesIO(self.rfile.read(n))) as z:
                     feats = {k: z[k] for k in z.files}
+            except Exception as e:  # noqa: BLE001 — unparseable body
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            try:
                 if batcher is not None and srv.feature_names[0] in feats \
                         and np.asarray(feats[srv.feature_names[0]]).shape[0] \
                         <= batcher.max_rows:
@@ -235,8 +267,11 @@ def make_server(srv, port: int, host: str = "127.0.0.1",
                 else:
                     with lock:
                         out = run_batch(srv, feats)
-            except Exception as e:  # noqa: BLE001 — client error surface
+            except (KeyError, ValueError) as e:  # malformed request
                 self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            except Exception as e:  # noqa: BLE001 — server/device fault
+                self._send(500, json.dumps({"error": str(e)}).encode())
                 return
             buf = io.BytesIO()
             np.savez(buf, **out)
