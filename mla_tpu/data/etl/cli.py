@@ -78,12 +78,21 @@ def cmd_extract_spec(args):
 def cmd_extract_fbank(args):
     from mla_tpu.ops.fbank import wav2fbank
     os.makedirs(args.out_dir, exist_ok=True)
+    if (args.mix_dir is None) != (args.mix_lambda is None):
+        raise SystemExit("--mix_dir and --mix_lambda go together")
     for f in sorted(os.listdir(args.in_dir)):
         if not f.endswith(".wav"):
             continue
         try:
             _, wave = _wavread(join(args.in_dir, f))
-            fb = np.asarray(wav2fbank(wave, target_length=args.target_length))
+            wave2 = None
+            if args.mix_dir is not None:
+                # waveform mixup (extract_fbank.py:14-32): blend with the
+                # same-named wav from --mix_dir before the fbank transform
+                _, wave2 = _wavread(join(args.mix_dir, f))
+            fb = np.asarray(wav2fbank(wave, target_length=args.target_length,
+                                      waveform2=wave2,
+                                      mix_lambda=args.mix_lambda or -1.0))
         except Exception as e:   # extract_fbank.py:38-40 fallback
             print(f"there is a loading error ({f}: {e})")
             # fallback matches --target_length: a fixed 512 would poison the
@@ -216,6 +225,10 @@ def main(argv=None):
     s = sub.add_parser("extract-fbank")
     s.add_argument("in_dir"); s.add_argument("out_dir")
     s.add_argument("--target_length", type=int, default=1024)
+    s.add_argument("--mix_dir", default=None,
+                   help="waveform-mixup partner dir (same-named wavs); "
+                        "blended per extract_fbank.py:14-32")
+    s.add_argument("--mix_lambda", type=float, default=None)
     s.set_defaults(fn=cmd_extract_fbank)
 
     s = sub.add_parser("video-frames")

@@ -20,6 +20,7 @@ htk_compat only moves the energy column (unused here: use_energy=False).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -111,9 +112,31 @@ def pad_or_trim_frames(fbank: jnp.ndarray, target_length: int = 1024) -> jnp.nda
     return jnp.pad(fbank, pad)
 
 
-def wav2fbank(waveform: jnp.ndarray, target_length: int = 1024) -> jnp.ndarray:
-    """Full extract_fbank.py::wav2fbank path: mean-subtract, fbank, pad to 1024."""
-    waveform = waveform - jnp.mean(waveform, axis=-1, keepdims=True)
+def mix_waveforms(w1: jnp.ndarray, w2: jnp.ndarray,
+                  mix_lambda: float) -> jnp.ndarray:
+    """Waveform mixup (extract_fbank.py:14-32): mean-center both waveforms,
+    zero-pad or cut w2 to w1's length, lambda-blend, re-center the mix."""
+    w1 = w1 - jnp.mean(w1, axis=-1, keepdims=True)
+    w2 = w2 - jnp.mean(w2, axis=-1, keepdims=True)
+    n1, n2 = w1.shape[-1], w2.shape[-1]
+    if n2 < n1:
+        w2 = jnp.pad(w2, [(0, 0)] * (w2.ndim - 1) + [(0, n1 - n2)])
+    elif n2 > n1:
+        w2 = w2[..., :n1]
+    mix = mix_lambda * w1 + (1.0 - mix_lambda) * w2
+    return mix - jnp.mean(mix, axis=-1, keepdims=True)
+
+
+def wav2fbank(waveform: jnp.ndarray, target_length: int = 1024,
+              waveform2: Optional[jnp.ndarray] = None,
+              mix_lambda: float = -1.0) -> jnp.ndarray:
+    """Full extract_fbank.py::wav2fbank path: mean-subtract (or, with a
+    second waveform, mix_lambda-blend per mix_waveforms), fbank, pad to 1024
+    frames (extract_fbank.py:8-52)."""
+    if waveform2 is not None:
+        waveform = mix_waveforms(waveform, waveform2, mix_lambda)
+    else:
+        waveform = waveform - jnp.mean(waveform, axis=-1, keepdims=True)
     return pad_or_trim_frames(kaldi_fbank(waveform), target_length)
 
 

@@ -37,6 +37,28 @@ class TestAudioETL:
         # 3s -> 298 frames real, rest zero-padded (extract_fbank.py:42-52)
         assert np.abs(fb[:290]).sum() > 0 and np.allclose(fb[300:], 0)
 
+    def test_extract_fbank_waveform_mixup(self, tmp_path):
+        """--mix_dir/--mix_lambda == wav2fbank(w1, w2, lam), whose mixing law
+        is pinned against the torch reference in tests/test_ops.py
+        (extract_fbank.py:14-32)."""
+        import jax.numpy as jnp
+        from mla_tpu.ops.fbank import wav2fbank
+        ind, mixd, outd = (str(tmp_path / d) for d in ("in", "mix", "out"))
+        os.makedirs(ind), os.makedirs(mixd)
+        _write_wav(os.path.join(ind, "c.wav"), seconds=2.0)
+        _write_wav(os.path.join(mixd, "c.wav"), seconds=3.0, seed=9)
+        cli.main(["extract-fbank", ind, outd, "--mix_dir", mixd,
+                  "--mix_lambda", "0.3"])
+        fb = np.load(os.path.join(outd, "c.npy"))
+        assert fb.shape == (1024, 128)
+        w1 = cli._wavread(os.path.join(ind, "c.wav"))[1]
+        w2 = cli._wavread(os.path.join(mixd, "c.wav"))[1]
+        want = np.asarray(wav2fbank(jnp.asarray(w1), waveform2=jnp.asarray(w2),
+                                    mix_lambda=0.3))
+        np.testing.assert_allclose(fb, want, rtol=1e-5, atol=1e-5)
+        with pytest.raises(SystemExit, match="go together"):
+            cli.main(["extract-fbank", ind, outd, "--mix_dir", mixd])
+
 
 class TestListsETL:
     def test_gen_txt_and_stat_roundtrip(self, tmp_path):

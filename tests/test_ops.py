@@ -83,6 +83,33 @@ class TestFbank:
         # frames beyond the signal are zero-padded
         assert np.allclose(np.asarray(out)[300:], 0.0)
 
+    @pytest.mark.parametrize("n2", [12000, 16000, 20000])
+    def test_mix_waveforms_matches_torch_reference(self, n2):
+        """Mixing law == the reference's torch lines verbatim
+        (extract_fbank.py:14-32), for w2 shorter / equal / longer than w1."""
+        import torch
+        rng = np.random.default_rng(11)
+        w1 = rng.standard_normal(16000).astype(np.float32)
+        w2 = rng.standard_normal(n2).astype(np.float32)
+        lam = 0.37
+
+        t1, t2 = torch.tensor(w1)[None], torch.tensor(w2)[None]
+        t1 = t1 - t1.mean()
+        t2 = t2 - t2.mean()
+        if t1.shape[1] != t2.shape[1]:
+            if t1.shape[1] > t2.shape[1]:
+                tmp = torch.zeros(1, t1.shape[1])
+                tmp[0, :t2.shape[1]] = t2
+                t2 = tmp
+            else:
+                t2 = t2[0, :t1.shape[1]]
+        mix = lam * t1 + (1 - lam) * t2
+        want = (mix - mix.mean()).numpy().reshape(-1)
+
+        got = np.asarray(fbank.mix_waveforms(jnp.asarray(w1), jnp.asarray(w2),
+                                             lam))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
 
 class TestImage:
     def test_resize_center_crop_box_roundtrip(self):
