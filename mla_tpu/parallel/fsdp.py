@@ -54,12 +54,58 @@ MIN_SHARD_ELEMS = 2 ** 16
 # batch_stats / gs / qmf / rng / step replicate (docstring rationale).
 _FSDP_ROOTS = ("params", "opt_state")
 
+# Embedding tables stay replicated (as the reference keeps them,
+# reference models/m3ae.py:317): a jnp.take from a sharded table makes
+# GSPMD replicate-then-repartition the gather ("Involuntary full
+# rematerialization", spmd_partitioner.cc) — an unscheduled all-gather of
+# the whole table every step, worse than the replicated copy it was meant
+# to save. Pinned by tests/test_fsdp.py::test_embedding_stays_replicated.
+_FSDP_REPLICATED_LEAVES = ("embedding", "text_embedding")
+
+
+# Trace-time switch (sp.py pattern): batch-shard constraint for embedding
+# LOOKUP OUTPUTS under FSDP. The qkv kernel's FSDP sharding makes the
+# text-embedding cotangent arrive feature-sharded over 'data' at the
+# gather's transpose (a scatter-add); inside the grad-accum loop GSPMD then
+# falls back to "Involuntary full rematerialization" to reshard it. Pinning
+# the lookup output (and therefore, through with_sharding_constraint's
+# transpose rule, its cotangent) to plain batch sharding keeps the scatter
+# partitioning on the local-scatter + all-reduce path. Installed by the
+# driver when --fsdp runs on a data-axis mesh; identity otherwise.
+_EMBED_MESH: "Mesh | None" = None
+
+
+def enable_embed_constraint(mesh: Mesh) -> bool:
+    global _EMBED_MESH
+    if mesh.shape.get(DATA_AXIS, 1) <= 1:
+        _EMBED_MESH = None
+        return False
+    _EMBED_MESH = mesh
+    return True
+
+
+def disable_embed_constraint():
+    global _EMBED_MESH
+    _EMBED_MESH = None
+
+
+def constrain_embed(x):
+    """Pin a (B, ...) embedding-lookup activation to batch sharding (the
+    natural layout) when the FSDP constraint is installed; identity off."""
+    if _EMBED_MESH is None:
+        return x
+    spec = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_EMBED_MESH, spec))
+
 
 def leaf_pspec(path, leaf, n_data: int, n_model: int = 1) -> P:
     """PartitionSpec for one TrainState leaf under (fsdp × tp) rules."""
     base = tp.leaf_pspec(path, leaf, n_model) if n_model > 1 else P()
     names = path_names(path)
     if n_data <= 1 or not names or names[0] not in _FSDP_ROOTS:
+        return base
+    if names[-1] in _FSDP_REPLICATED_LEAVES:
         return base
     shape = jax.numpy.shape(leaf)
     if not shape or int(np.prod(shape)) < MIN_SHARD_ELEMS:

@@ -96,21 +96,31 @@ def evaluate(cfg, model, state, loader, eval_step) -> Dict[str, float]:
 def run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     """Train (cfg.train) or evaluate a checkpoint (not cfg.train)."""
     from mla_tpu.ops import attention as attn_lib
-    from mla_tpu.parallel import pp, sp
+    from mla_tpu.parallel import fsdp, pp, sp
     sp.disable()          # never inherit a previous run's token sharding
     pp.disable_train()    # or its pipeline schedule
+    fsdp.disable_embed_constraint()
     attn_lib.set_flat_attention(True)
     try:
         return _run(cfg, max_steps_per_epoch)
     finally:
         sp.disable()  # the trace-time globals must not outlive this run
         pp.disable_train()
+        fsdp.disable_embed_constraint()
         attn_lib.set_flat_attention(True)
 
 
 def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
     np.random.seed(cfg.random_seed)          # setup_seed (utils.py:98-103);
     # JAX randomness is explicit PRNG-key threading — deterministic by design.
+
+    if cfg.compile_cache:
+        # Persistent XLA compilation cache: the unrolled large/huge block
+        # stacks compile in minutes cold but load in seconds on every later
+        # run — production can take the unrolled layout's step-time win over
+        # --scan_blocks as a one-time cost (BASELINE.md scan-blocks trade).
+        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mla_tpu.parallel import distributed
     distributed.initialize(cfg)              # no-op unless --dist_coordinator
@@ -169,6 +179,7 @@ def _run(cfg: MLAConfig, max_steps_per_epoch: Optional[int] = None):
         # has a model axis > 1
         from mla_tpu.parallel import fsdp as fsdp_lib
         place_state = lambda s: fsdp_lib.shard_state(mesh, s)      # noqa: E731
+        fsdp_lib.enable_embed_constraint(mesh)  # clean embedding-grad scatter
     else:
         place_state = lambda s: shard_state(mesh, s)               # noqa: E731
     state = place_state(state)

@@ -34,8 +34,10 @@ class TestLeafRules:
         # optimizer moments mirror the param sharding
         assert (sh["opt_state"]["momentum"]["enc"]["fc1"]["kernel"].spec
                 == P(None, "data"))
-        # 30522 % 8 != 0 -> falls back to the next widest divisible dim
-        assert sh["params"]["enc"]["emb"]["embedding"].spec == P(None, "data")
+        # embedding tables replicate (gather from a sharded table forces a
+        # GSPMD replicate-then-repartition every step — see
+        # test_embedding_stays_replicated)
+        assert sh["params"]["enc"]["emb"]["embedding"].spec == P()
         # small leaves (3072 elems < MIN_SHARD_ELEMS) replicate
         assert sh["params"]["enc"]["fc1"]["bias"].spec == P()
         # non-param state replicates regardless of size
@@ -56,6 +58,74 @@ class TestLeafRules:
         assert blk["attn"]["qkv"]["kernel"].spec == P("data", "model")
         assert blk["attn"]["proj"]["kernel"].spec == P("model", "data")
         assert blk["mlp"]["fc2"]["kernel"].spec == P("model", "data")
+
+    def test_embedding_stays_replicated(self):
+        """Embedding tables must NOT fsdp-shard (VERDICT r3 #4): jnp.take
+        from a sharded table makes GSPMD replicate-then-repartition the
+        gather ('Involuntary full rematerialization') — an unscheduled
+        all-gather of the table per step. The reference keeps it replicated
+        (reference models/m3ae.py:317); so do we. The compiled m3ae FSDP
+        step's HLO must contain no all-gather reconstructing the table."""
+        mesh = make_mesh(mesh_shape=(4, 2))
+        vocab, emb = 256, 1024   # divisible by BOTH axes -> would shard
+        fake = {"params": {"mae_a": {"text_embedding": jnp.zeros((vocab, emb))}},
+                "opt_state": {"m": {"mae_a": {
+                    "text_embedding": jnp.zeros((vocab, emb))}}}}
+        sh = fsdp.state_shardings(mesh, fake)
+        assert sh["params"]["mae_a"]["text_embedding"].spec == P()
+        assert sh["opt_state"]["m"]["mae_a"]["text_embedding"].spec == P()
+        # HLO check on the real step: no (vocab, emb)-shaped all-gather
+        cfg = MLAConfig(dataset="MVSA", lorb="m3ae", gs_flag=True, fsdp=True,
+                        mesh_shape=(4, 2), train=True).validate()
+        from mla_tpu.models.classifiers import M3AEClassifier
+        model = M3AEClassifier(n_classes=3, gs_flag=True, model_type="debug",
+                               text_vocab_size=vocab, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b = 8
+        batch = {
+            "token": jnp.asarray(rng.integers(0, vocab, (b, 8)), jnp.int32),
+            "padding_mask": jnp.zeros((b, 8), jnp.float32),
+            "image": jnp.asarray(rng.standard_normal((b, 3, 32, 32)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 3, b), jnp.int32),
+            "idx": jnp.arange(b, dtype=jnp.int32),
+            "valid": jnp.ones((b,), jnp.float32),
+        }
+        spec = optim.make_spec(cfg)
+        state = fsdp.shard_state(mesh,
+                                 create_train_state(model, cfg, batch, spec))
+        tbl = state.params["mae_a"]["text_embedding"]
+        assert tbl.sharding.spec == P(), tbl.sharding
+        batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                 for k, v in batch.items()}
+        step = jax.jit(steps.make_mla_train_step(model, cfg, spec, len_dl=4),
+                       donate_argnums=0)
+        hlo = step.lower(state, batch, jnp.float32(1e-3),
+                         jnp.int32(0)).compile().as_text()
+        import re
+        # a full-table reconstruction would appear as an all-gather (or
+        # dynamic-slice of a replicated copy) at the table's full shape with
+        # a sharded operand; with the table replicated there is none
+        bad = re.findall(rf"all-gather[^\n]*f32\[{vocab},{emb}\]", hlo)
+        assert not bad, bad[:3]
+
+    def test_constrain_embed_switch(self):
+        """fsdp.constrain_embed: identity when off; batch-pins under the
+        installed mesh (the transposed constraint keeps the embedding-grad
+        scatter off GSPMD's replicate-then-repartition fallback)."""
+        x = jnp.ones((8, 4, 16))
+        assert fsdp.constrain_embed(x) is x   # off -> identity
+        mesh = make_mesh(mesh_shape=(4, 2))
+        assert fsdp.enable_embed_constraint(mesh)
+        try:
+            y = jax.jit(fsdp.constrain_embed)(x)
+            assert y.sharding.spec == P("data"), y.sharding
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+        finally:
+            fsdp.disable_embed_constraint()
+        # data axis of 1 -> stays off
+        assert not fsdp.enable_embed_constraint(make_mesh(mesh_shape=(1, 8)))
+        assert fsdp.constrain_embed(x) is x
 
     def test_indivisible_replicates_never_errors(self):
         mesh = make_mesh(mesh_shape=(8, 1))
@@ -81,6 +151,7 @@ def _av_batch(rng, b=16):
 
 
 class TestFSDPStep:
+    @pytest.mark.mid
     def test_av_mla_step_matches_single_device(self):
         """CREMA-D MLA step on an 8-way FSDP mesh == single-device, with the
         big conv kernels + momentum living sharded and STAYING sharded
