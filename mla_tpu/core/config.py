@@ -133,11 +133,27 @@ class MLAConfig:
                                      # depth residual sets — single-chip
                                      # memory lever for --m3ae_size
                                      # large/huge; needs --scan_blocks
+    remat_policy: str = "full"       # what --remat_blocks saves across the
+                                     # block boundary: 'full' recomputes the
+                                     # whole block (max memory savings);
+                                     # 'dots' saves the GEMM outputs
+                                     # (jax dots_with_no_batch_dims_saveable)
+                                     # so the backward recomputes only
+                                     # LN/gelu/attention — most of the remat
+                                     # FLOP tax back for ~10x the residual
+                                     # footprint of 'full'
     scan_unroll: int = 1             # lax.scan unroll factor for
                                      # --scan_blocks. Measured on v5e:
                                      # STRICTLY WORSE than 1 (374 ms at 2 vs
                                      # 253; OOM at 4 — BASELINE.md); kept so
                                      # other hardware can re-evaluate
+    compile_cache: str = ""          # persistent XLA compilation cache dir
+                                     # (jax_compilation_cache_dir): makes the
+                                     # unrolled large/huge stacks a ONE-TIME
+                                     # compile cost (minutes cold, seconds
+                                     # warm), so production runs can take the
+                                     # unrolled layout's +53% step-time win
+                                     # over --scan_blocks (BASELINE.md)
     pp_microbatches: int = 0         # GPipe pipeline parallelism over the
                                      # M3AE block stack (parallel/pp.py):
                                      # stages = the mesh 'model' axis, this
@@ -331,6 +347,11 @@ class MLAConfig:
             raise ValueError("--scan_unroll needs --scan_blocks")
         if self.remat_blocks and not self.scan_blocks:
             raise ValueError("--remat_blocks needs --scan_blocks")
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(f"--remat_policy must be full or dots, got "
+                             f"{self.remat_policy!r}")
+        if self.remat_policy != "full" and not self.remat_blocks:
+            raise ValueError("--remat_policy applies under --remat_blocks")
         if self.remat_blocks and self.pp_microbatches:
             raise ValueError(
                 "--remat_blocks does not apply under --pp_microbatches (the "
@@ -512,6 +533,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_blocks", action="store_true",
                    help="jax.checkpoint each scanned M3AE block (memory "
                         "for recompute; needs --scan_blocks)")
+    p.add_argument("--remat_policy", default=d.remat_policy, type=str,
+                   choices=["full", "dots"],
+                   help="remat granularity: full = recompute whole blocks; "
+                        "dots = save GEMM outputs, recompute only "
+                        "LN/gelu/attention in the backward")
+    p.add_argument("--compile_cache", default=d.compile_cache, type=str,
+                   metavar="DIR",
+                   help="persistent XLA compilation cache: unrolled "
+                        "large/huge stacks compile once, then load in "
+                        "seconds on every later run")
     p.add_argument("--scan_unroll", default=d.scan_unroll, type=int,
                    help="unroll factor for --scan_blocks (compile/runtime "
                         "trade; 1 = pure scan)")

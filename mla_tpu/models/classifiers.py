@@ -205,13 +205,15 @@ class M3AEClassifier(nn.Module, _FusionMixin):
                                    # stacked 'blocks' param layout)
     scan_unroll: int = 1
     remat_blocks: bool = False     # jax.checkpoint each scanned block
+    remat_policy: str = "full"     # 'full' | 'dots' (see M3AEConfig)
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
                          text_vocab_size=self.text_vocab_size,
                          scan_blocks=self.scan_blocks,
                          scan_unroll=self.scan_unroll,
-                         remat_blocks=self.remat_blocks)
+                         remat_blocks=self.remat_blocks,
+                         remat_policy=self.remat_policy)
         self.mae_a = M3AEEncoder(cfg, dtype=self.dtype, name="mae_a")
         self.mae_v = M3AEEncoder(cfg, dtype=self.dtype, name="mae_v")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
@@ -261,12 +263,14 @@ class Modal3Classifier(nn.Module, _FusionMixin):
     scan_blocks: bool = False
     scan_unroll: int = 1
     remat_blocks: bool = False     # jax.checkpoint each scanned block
+    remat_policy: str = "full"     # 'full' | 'dots' (see M3AEConfig)
 
     def setup(self):
         cfg = M3AEConfig(model_type=self.model_type,
                          scan_blocks=self.scan_blocks,
                          scan_unroll=self.scan_unroll,
-                         remat_blocks=self.remat_blocks)
+                         remat_blocks=self.remat_blocks,
+                         remat_policy=self.remat_policy)
         self.mae_a = CAVMAEFT(self.n_classes, audio_length=self.audio_length,
                               modality_specific_depth=self.cav_blocks[0],
                               depth=self.cav_blocks[1],
@@ -362,6 +366,7 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
         kw["scan_blocks"] = cfg.scan_blocks
         kw["scan_unroll"] = cfg.scan_unroll
         kw["remat_blocks"] = cfg.remat_blocks
+        kw["remat_policy"] = cfg.remat_policy
         kw["model_type"] = cfg.m3ae_size
         if cfg.modal3:
             return Modal3Classifier(audio_length=cfg.audio_length,
