@@ -9,9 +9,11 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8]
-(large/huge: scan-blocks M3AE at that size, ladder (1, 16);
- bf16/int8: --export_dtype weight precision of the artifact)
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8] [rungs=1,16]
+(large/huge: scan-blocks M3AE at that size, default ladder (1, 16);
+ bf16/int8: --export_dtype weight precision of the artifact;
+ rungs=...: override the batch ladder, e.g. rungs=1 to bench one rung
+ within the relay's slow-compile window)
 """
 
 import sys
@@ -97,6 +99,11 @@ def main():
         wdtype = "bfloat16"
     if "int8" in argv:
         wdtype = "int8"
+    rung_override = None
+    for a in list(argv):
+        if a.startswith("rungs="):
+            rung_override = tuple(int(x) for x in a[6:].split(","))
+            argv.remove(a)
     argv = [a for a in argv if a not in ("bf16", "int8")]
     unknown = [a for a in argv[1:]]
     if unknown:
@@ -109,6 +116,9 @@ def main():
         # the --m3ae_size large/huge deployment artifact (scan-blocks stack)
         B = 16
         rungs = (1, 16)
+        if rung_override:
+            rungs = rung_override
+            B = max(rungs)
         batch = {
             "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
             "padding_mask": jnp.zeros((B, 256), jnp.float32),

@@ -7,6 +7,7 @@ augmentations.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def _run(seed, n=3):
 
 
 class TestDeterminism:
+    @pytest.mark.mid
     def test_same_seed_bit_identical(self):
         s1, m1 = _run(7)
         s2, m2 = _run(7)

@@ -21,6 +21,7 @@ def tiny_cremad(tmp_path_factory):
 
 
 class TestDriver:
+    @pytest.mark.mid
     def test_train_eval_checkpoint_resume_evalonly(self, tiny_cremad,
                                                    tmp_path):
         """One sequential driver flow: train 2 epochs -> best ckpt -> restore
@@ -61,6 +62,7 @@ class TestDriver:
 
 
 class TestResume:
+    @pytest.mark.mid
     def test_interrupted_resume_matches_uninterrupted(self, tiny_cremad,
                                                       tmp_path):
         """--resume continues from the rolling 'last' checkpoint; with the

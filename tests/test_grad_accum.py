@@ -67,6 +67,7 @@ class TestConfig:
 
 
 class TestExactEquivalence:
+    @pytest.mark.mid
     def test_mla_with_gs_m3ae(self):
         """MLA alternating step (LN-only m3ae) with the GS RLS projector on:
         accumulated grads + full-batch reassembled features == one-shot."""
@@ -93,6 +94,7 @@ class TestExactEquivalence:
         np.testing.assert_allclose(np.asarray(out1[0].gs.Pl),
                                    np.asarray(outk[0].gs.Pl), atol=2e-2)
 
+    @pytest.mark.mid
     def test_joint_ogm_modal3(self):
         """3-modal OGM: coefficients computed from the reassembled full-batch
         logits scale the ACCUMULATED 4-D grads — same trajectory as one-shot
@@ -122,6 +124,7 @@ class TestExactEquivalence:
 
 
 class TestMicrobatchInvariants:
+    @pytest.mark.mid
     def test_grads_and_features_match_one_shot(self):
         """The two facts the regime equivalences rest on, pinned tightly:
         from UNCHANGED params, (a) per-microbatch features reassemble to the
@@ -199,6 +202,7 @@ class TestParallelComposition:
         return jax.jit(step)(state, batch, jnp.float32(1e-2), jnp.int32(0),
                              jnp.int32(0))
 
+    @pytest.mark.mid
     def test_pp_microbatches_times_grad_accum(self):
         """PP(2) x grad_accum(2): each 4-row accumulation microbatch is
         GPipe-split into 2 pipeline microbatches per stage — must equal the
@@ -232,6 +236,7 @@ class TestParallelComposition:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
+    @pytest.mark.mid
     def test_seq_parallel_times_grad_accum(self):
         """SP (TP-sharded params, token-sharded residual) x grad_accum(2)
         on a (4,2) mesh == plain sequential step (~one-ulp fp difference)."""
@@ -272,6 +277,7 @@ class TestParallelComposition:
 
 
 class TestBNFamilies:
+    @pytest.mark.mid
     def test_av_base_runs_with_sequential_bn(self):
         """CREMA-D ResNets under accumulation: BN normalises per microbatch
         (torch-style semantics, documented in config.py) — assert the step

@@ -37,6 +37,7 @@ class TestResNet18:
 
 
 class TestM3AE:
+    @pytest.mark.mid
     def test_text_only_and_image_only(self):
         enc = M3AEEncoder(M3AEConfig(model_type="debug", text_vocab_size=1024))
         token = jnp.zeros((2, 8), jnp.int32)

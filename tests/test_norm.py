@@ -66,6 +66,7 @@ class TestMaskedBatchNorm:
         np.testing.assert_allclose(np.asarray(st["batch_stats"]["var"]),
                                    bn.running_var.numpy(), atol=1e-5)
 
+    @pytest.mark.mid
     def test_padded_train_step_matches_small_batch(self):
         """With MaskedBatchNorm the padded MLA train step reproduces the
         unpadded one (loss and updated params)."""

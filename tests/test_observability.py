@@ -33,6 +33,7 @@ def _run_one_epoch(cfg, tmp_path):
 
 
 class TestScalarNameContract:
+    @pytest.mark.mid
     def test_two_modal_groups_and_names(self, stub_writer, tmp_path):
         root = str(tmp_path / "cre")
         synthetic.make_cremad(root, n_train=4, n_test=4, spec_shape=(64, 80))

@@ -128,6 +128,7 @@ class TestLeafLaw:
 
 
 class TestTrainStep:
+    @pytest.mark.mid
     def test_mla_step_bf16_momentum_tracks_fp32(self):
         """Full MLA alternating step (ghost updates on): bf16 moments survive
         REAL/GHOST/SKIP modes — every momentum leaf stays bf16 through the
@@ -150,6 +151,7 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4)
 
+    @pytest.mark.mid
     def test_accum_bf16_carry_tracks_fp32(self):
         """--grad_accum 4 with a bf16 carry: same trajectory as the fp32
         carry at rounding tolerance (each partial sum rounds once)."""
@@ -171,6 +173,7 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3)
 
+    @pytest.mark.mid
     def test_checkpoint_roundtrip_preserves_bf16_state(self, tmp_path):
         """Orbax save/restore keeps the bf16 moment dtype, so a resumed run
         continues from the exact stored buffers (the round-then-apply law

@@ -3,6 +3,7 @@ the sharded MLA step must produce the same update as the unsharded one
 (GSPMD inserts the gradient all-reduce; global-batch semantics)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -50,6 +51,7 @@ class TestDataParallel:
                       pp_microbatches=2, seq_parallel=True,
                       mesh_shape=(2, 2)).validate()
 
+    @pytest.mark.mid
     def test_sharded_step_matches_unsharded(self):
         cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                         gs_rls=True, train=True).validate()

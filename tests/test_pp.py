@@ -4,6 +4,7 @@ forward AND gradient, composed with DP on the (data, model) mesh. Goes
 beyond the reference's DataParallel-only scaling (reference: main.py:732)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -36,6 +37,7 @@ def _sequential(block, params, x, mask):
 
 
 class TestPipelineBlocks:
+    @pytest.mark.mid
     def test_forward_matches_sequential(self):
         mesh, block, x, mask, params = _fixtures()
         ref = _sequential(block, params, x, mask)
@@ -47,6 +49,7 @@ class TestPipelineBlocks:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
+    @pytest.mark.mid
     def test_grad_matches_sequential(self):
         mesh, block, x, mask, params = _fixtures()
         stacked = pp.shard_stacked(mesh, pp.stack_block_params(params, DEPTH))
@@ -157,6 +160,7 @@ class TestPPTrainStep:
         state = create_train_state(model, cfg, batch, spec, n_data=16, seed=5)
         return state, steps.make_train_step(model, cfg, spec, len_dl=4)
 
+    @pytest.mark.mid
     def test_mla_step_matches_sequential(self):
         from mla_tpu.models.classifiers import M3AEClassifier
         from mla_tpu.parallel.mesh import shard_batch
@@ -192,6 +196,7 @@ class TestPPTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
 
+    @pytest.mark.mid
     def test_blocks_stay_stage_sharded_through_update(self):
         """The optimizer update must preserve the P('model') stage sharding
         of the stacked blocks (no gather-to-replicated per step)."""

@@ -105,6 +105,7 @@ class TestRoundTrip:
 
 
 class TestDriverFlag:
+    @pytest.mark.mid
     def test_export_torch_writes_final_state(self, tmp_path):
         """--export_torch on a train run: the .pth holds the FINAL params
         (reference saved_dict layout) — import reproduces the train result."""

@@ -269,6 +269,7 @@ class TestCAVMAEImport:
 
 
 class TestClassifierImport:
+    @pytest.mark.mid
     def test_av_classifier_roundtrip(self):
         """Full AVClassifier-shaped torch dict (DataParallel prefixes) imports
         into trees matching flax init."""
@@ -298,6 +299,7 @@ class TestClassifierImport:
 
 
 class TestPretrainedEncoderLoad:
+    @pytest.mark.mid
     def test_load_pretrained_m3ae_encoder(self, tmp_path):
         """--pretrained_a loads a bare M3AE state_dict into mae_a only."""
         from ml_collections import ConfigDict

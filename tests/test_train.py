@@ -224,7 +224,7 @@ def _tiny_batch(rng, b=8, n_classes=2):
 class TestEndToEnd:
     @pytest.mark.parametrize(
         "regime",
-        ["mla",
+        [pytest.param("mla", marks=pytest.mark.mid),
          pytest.param("normal", marks=pytest.mark.slow),
          pytest.param("ogm", marks=pytest.mark.slow),
          pytest.param("qmf", marks=pytest.mark.slow)])
