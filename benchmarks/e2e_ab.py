@@ -7,6 +7,7 @@ as a markdown table (recorded in BASELINE.md). The slow-tier test
 (tests/test_e2e_ab.py) asserts the same trajectories within tolerance.
 
 Usage: python benchmarks/e2e_ab.py [epochs] [n_train] [regime ...]
+                                   [seed=7] [ntest=16]
 Regimes: Normal OGM OGM_GE QMF MLA MLA_dynamic, optionally prefixed with a
 family: ``m3ae:`` (MVSA image-text transformers, depth-1 768-wide both
 sides — ab_harness.tiny_ref_m3ae), ``modal3:`` (IEMOCAP 3-modality, tiny
@@ -39,6 +40,11 @@ ALL = ["Normal", "OGM", "OGM_GE", "QMF", "MLA", "MLA_dynamic"]
 
 def main():
     args = sys.argv[1:]
+    # key=value tokens anywhere: seed=N (default 7), ntest=N (default 16)
+    # — the VERDICT-r3 #8 second (seed, size) point for the CNN family
+    kv = {k: int(v) for k, v in
+          (a.split("=", 1) for a in args if "=" in a)}
+    args = [a for a in args if "=" not in a]
     epochs = int(args[0]) if args else 3
     n_train = int(args[1]) if len(args) > 1 else 48
     regimes = args[2:] or ALL
@@ -54,6 +60,7 @@ def main():
                              "(use m3ae:/large:/modal3:/clip: or none)")
         ref, ours, ri, oi = run_ab(
             r_name, root, td, epochs=epochs, n_train=n_train,
+            seed=kv.get("seed", 7), n_test=kv.get("ntest", 16),
             lorb=fam if fam in ("m3ae", "large") else "base",
             modal3=fam == "modal3", clip=fam == "clip")
         for r, o in zip(ref, ours):

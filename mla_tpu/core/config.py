@@ -218,6 +218,11 @@ class MLAConfig:
     image_size: Optional[int] = None  # override the per-dataset crop size
                                       # (224 base/large, 256 m3ae); used by
                                       # tests/CI for reduced-resolution runs
+    pallas_conv: str = "auto"         # Pallas width-window 3x3 conv for the
+                                      # ResNet body (ops/conv3x3.py): 'auto'
+                                      # (on for single-chip TPU) | 'on' |
+                                      # 'off'. Off-TPU the op is a lax.conv
+                                      # either way.
     resnet_stages: Tuple[int, ...] = (2, 2, 2, 2)
                                       # blocks per ResNet stage for the `base`
                                       # backbones (reference parity: ResNet-18
@@ -347,6 +352,9 @@ class MLAConfig:
             raise ValueError("--scan_unroll needs --scan_blocks")
         if self.remat_blocks and not self.scan_blocks:
             raise ValueError("--remat_blocks needs --scan_blocks")
+        if self.pallas_conv not in ("auto", "on", "off"):
+            raise ValueError(f"--pallas_conv must be auto, on or off, got "
+                             f"{self.pallas_conv!r}")
         if self.remat_policy not in ("full", "dots"):
             raise ValueError(f"--remat_policy must be full or dots, got "
                              f"{self.remat_policy!r}")
@@ -533,6 +541,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_blocks", action="store_true",
                    help="jax.checkpoint each scanned M3AE block (memory "
                         "for recompute; needs --scan_blocks)")
+    p.add_argument("--pallas_conv", default=d.pallas_conv, type=str,
+                   choices=["auto", "on", "off"],
+                   help="Pallas 3x3 conv for the ResNet body (auto = on for "
+                        "single-chip TPU; off-TPU always lax.conv)")
     p.add_argument("--remat_policy", default=d.remat_policy, type=str,
                    choices=["full", "dots"],
                    help="remat granularity: full = recompute whole blocks; "

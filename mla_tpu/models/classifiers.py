@@ -103,14 +103,19 @@ class AVClassifier(nn.Module, _FusionMixin):
     remat: bool = False
     masked_bn: bool = False   # exact partial-batch BN stats (config.masked_bn)
     stages: Sequence[int] = (2, 2, 2, 2)  # config.resnet_stages
+    pallas_conv: bool = False  # config.pallas_conv (resolved in build)
 
     def setup(self):
         self.audio_net = ResNet18(modality="audio", dtype=self.dtype,
                                   stage_sizes=tuple(self.stages),
-                                  remat=self.remat, name="audio_net")
+                                  remat=self.remat,
+                                  pallas_conv=self.pallas_conv,
+                                  name="audio_net")
         self.visual_net = ResNet18(modality="visual", dtype=self.dtype,
                                    stage_sizes=tuple(self.stages),
-                                   remat=self.remat, name="visual_net")
+                                   remat=self.remat,
+                                   pallas_conv=self.pallas_conv,
+                                   name="visual_net")
         self.fusion_module = _make_fusion(self.fusion_method, self.gs_flag,
                                           self.n_classes, 2, self.dtype)
         if self.qmf:
@@ -375,7 +380,22 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
     if cfg.clip:
         return CLIPClassifier(**kw)
     return AVClassifier(masked_bn=cfg.masked_bn,
-                        stages=tuple(cfg.resnet_stages), **kw)
+                        stages=tuple(cfg.resnet_stages),
+                        pallas_conv=resolve_pallas_conv(cfg), **kw)
+
+
+def resolve_pallas_conv(cfg: MLAConfig) -> bool:
+    """'auto' engages the Pallas conv on a single real TPU chip only: under
+    multi-chip GSPMD a pallas_call is opaque to the partitioner (it would
+    replicate the conv), so DP/TP runs keep XLA's conv until a shard_map
+    wrapping lands. 'on' forces it (the op still falls back off-TPU or on
+    ineligible shapes — ops/conv3x3.py)."""
+    if cfg.pallas_conv == "on":
+        return True
+    if cfg.pallas_conv == "off":
+        return False
+    import jax
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def modalities_of(cfg: MLAConfig):

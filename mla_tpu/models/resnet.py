@@ -24,14 +24,36 @@ import jax.numpy as jnp
 
 from mla_tpu.models.layers import kaiming_out
 from mla_tpu.models.norm import MaskedBatchNorm
+from mla_tpu.ops.conv3x3 import conv3x3_vjp
 
 Dtype = Any
+
+
+class PallasConv3x3(nn.Module):
+    """Drop-in for the stride-1 3x3 nn.Conv sites: identical param tree
+    ({name}/kernel, (3,3,C,F) HWIO, kaiming fan_out) but the forward/dx run
+    the width-window Pallas kernel (ops/conv3x3.py) on TPU — measured past
+    XLA's ~70 TF/s conv envelope on the body shape class (BASELINE.md r4).
+    Off-TPU (CPU test tier, virtual meshes) it lowers to the same lax.conv
+    as nn.Conv."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # param storage stays fp32 (nn.Conv's param_dtype default — same
+        # checkpoint bytes); compute promotes to self.dtype like nn.Conv
+        kernel = self.param(
+            "kernel", kaiming_out,
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        return conv3x3_vjp(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, valid=None):
@@ -52,14 +74,27 @@ class BasicBlock(nn.Module):
                                               dtype=self.dtype, name=name)
         needs_proj = self.stride != 1 or x.shape[-1] != self.filters
         residual = x
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-                    kernel_init=kaiming_out, name="conv1")(x)
+        # the stride-1 C==F 3x3s (13 of 16 in ResNet-18, ~85% of body FLOPs)
+        # take the Pallas width-window kernel; strided/projection convs stay
+        # on XLA (ops/conv3x3.py scope note)
+        if self.pallas_conv and self.stride == 1:
+            conv1 = PallasConv3x3(self.filters, self.dtype, name="conv1")
+        else:
+            conv1 = nn.Conv(
+                self.filters, (3, 3),
+                strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                kernel_init=kaiming_out, name="conv1")
+        y = conv1(x)
         y = bn("bn1")(y, valid)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, kernel_init=kaiming_out,
-                    name="conv2")(y)
+        if self.pallas_conv:
+            conv2 = PallasConv3x3(self.filters, self.dtype, name="conv2")
+        else:
+            conv2 = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                            use_bias=False, dtype=self.dtype,
+                            kernel_init=kaiming_out, name="conv2")
+        y = conv2(y)
         y = bn("bn2")(y, valid)
         if needs_proj:
             residual = nn.Conv(self.filters, (1, 1),
@@ -77,6 +112,7 @@ class ResNet18(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False       # rematerialize blocks in backward (trade FLOPs
                               # for activation HBM traffic)
+    pallas_conv: bool = False  # route stride-1 3x3s through ops/conv3x3.py
 
     @nn.compact
     def __call__(self, x, train: bool = True, valid=None):
@@ -102,6 +138,7 @@ class ResNet18(nn.Module):
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = block_cls(filters, stride, dtype=self.dtype,
+                              pallas_conv=self.pallas_conv,
                               name=f"layer{stage + 1}_{block}")(x, train, valid)
         return x
 

@@ -97,9 +97,11 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc):
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
-    w = w_ref[...].astype(jnp.bfloat16)
+    # feed the s8 operand to the MXU directly (Mosaic lowers the mixed
+    # bf16 x s8 dot natively) — the explicit VPU convert-to-bf16 cost ~13%
+    # end-to-end on the huge b=1 artifact (BASELINE.md round-4)
     acc[...] += jax.lax.dot_general(
-        x_ref[...], w, (((1,), (0,)), ((), ())),
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)

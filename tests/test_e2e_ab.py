@@ -55,6 +55,26 @@ def test_reference_ab_trajectory(regime, tmp_path):
     assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= acc_tol, (ref[-1], ours[-1])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("regime", ["MLA", "QMF"])
+def test_reference_ab_trajectory_second_point(regime, tmp_path):
+    """VERDICT r3 #8: a second (seed, size) point for the CNN family — the
+    converged-accuracy-equality claim shouldn't rest on one 48-clip run.
+    Seed 11, 96/32 clips (2x the base run, acc quantized to 1/32)."""
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=3,
+        n_train=96, n_test=32, seed=11)
+    for k in ("acc", "acc_a", "acc_v"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+    for k in ("loss", "loss_a", "loss_v"):
+        assert abs(ref[0][k] - ours[0][k]) <= 0.06, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= 0.25, (dl, ref, ours)
+    assert ref[-1]["loss"] < 0.5 * ref[0]["loss"], ref
+    assert ours[-1]["loss"] < 0.5 * ours[0]["loss"], ours
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= 0.25, (ref[-1], ours[-1])
+
+
 M3AE_REGIMES = {
     # transformer trajectories drift less than the BN-heavy CNN ones (no
     # invstd amplifier); bands set ~4x above measured drift
