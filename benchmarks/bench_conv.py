@@ -40,13 +40,30 @@ def _read(out):
     return float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
-def timeit(fn, *args, reps=20):
-    _read(fn(*args))
+CHAIN = 20  # dependent applications inside ONE jit — the chained protocol
+#             (BASELINE measurement notes): per-dispatch relay overhead
+#             (~1.5-3 ms) would otherwise swamp sub-ms device kernels.
+
+
+def chain(one, n=CHAIN):
+    """y_{i+1} = one(y_i, k): data-dependent, so XLA can't overlap or elide
+    iterations; C==F keeps shapes fixed. Normalized kernels keep values
+    sane over the chain."""
+    def f(x, k):
+        def body(i, y):
+            return one(y, k)
+        return jax.lax.fori_loop(0, n, body, x)
+    return jax.jit(f)
+
+
+def timeit(fn, *args, reps=3):
+    _read(fn(*args))                      # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
     _read(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+    ms_call = (time.perf_counter() - t0) / reps * 1e3
+    return ms_call / CHAIN
 
 
 def main():
@@ -62,11 +79,13 @@ def main():
         gf = flops(b, h, w, c, c) / 1e9
         row = {"shape": name, "BHWC": (b, h, w, c), "gflop": round(gf, 1)}
         if mode == "fwd":
-            f_xla = jax.jit(conv3x3_reference)
-            f_flat = jax.jit(lambda x, k: conv3x3(x, k, flatten=True))
-            f_loop = jax.jit(lambda x, k: conv3x3(x, k, flatten=False))
+            f_xla = chain(conv3x3_reference)
+            f_flat = chain(lambda x, k: conv3x3(x, k, flatten=True))
+            f_loop = chain(lambda x, k: conv3x3(x, k, flatten=False))
             ms_x = timeit(f_xla, x, k)
-            err = float(jnp.max(jnp.abs(f_flat(x, k) - f_xla(x, k))))
+            err = float(jnp.max(jnp.abs(
+                jax.jit(lambda x, k: conv3x3(x, k))(x, k)
+                - jax.jit(conv3x3_reference)(x, k))))
             ms_f = timeit(f_flat, x, k)
             ms_l = timeit(f_loop, x, k)
             row.update({
@@ -80,10 +99,20 @@ def main():
 
             def loss_x(x, k):
                 return jnp.sum(conv3x3_reference(x, k) ** 2)
-            g_p = jax.jit(jax.grad(loss_p, (0, 1)))
-            g_x = jax.jit(jax.grad(loss_x, (0, 1)))
-            ms_p = timeit(g_p, x, k)
-            ms_x = timeit(g_x, x, k)
+
+            def chain_grad(loss):
+                g = jax.grad(loss, (0, 1))
+
+                def f(x, k):
+                    def body(i, xc):
+                        dx, _ = g(xc, k)
+                        # renormalize so 20 chained grads stay finite
+                        return dx / jnp.maximum(
+                            jnp.max(jnp.abs(dx)), 1e-12)
+                    return jax.lax.fori_loop(0, CHAIN, body, x)
+                return jax.jit(f)
+            ms_p = timeit(chain_grad(loss_p), x, k)
+            ms_x = timeit(chain_grad(loss_x), x, k)
             # fwd+dx+dw ~ 3x fwd FLOPs
             row.update({"xla_grad_ms": round(ms_x, 3),
                         "pallas_grad_ms": round(ms_p, 3),

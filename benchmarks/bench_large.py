@@ -5,7 +5,7 @@ ever constructs base; --m3ae_size makes them trainable here. Single chip:
 --scan_blocks keeps the 24-deep stack's HLO (and compile time) small; batch
 is sized to HBM. Usage:
 PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_large.py \
-    [batch] [size] [remat] [accumK] [bf16state]
+    [batch] [size] [remat] [dots] [accumK] [bf16state]
 
 `accumK` (e.g. accum8) turns on --grad_accum K: K scanned microbatches per
 update, ~K-fold less activation memory — the alternative/complement to remat
@@ -41,16 +41,19 @@ def main():
     remat = "remat" in extra
     accum = 1
     bf16_state = "bf16state" in extra
+    # 'dots' = --remat_policy dots: save GEMM/attention outputs, recompute
+    # only LN/gelu in the backward (VERDICT r3 #2 scan-tax attack)
+    policy = "dots" if "dots" in extra else "full"
     for a in extra:
-        if a in ("remat", "bf16state"):
+        if a in ("remat", "bf16state", "dots"):
             continue
         if a.startswith("accum") and a[5:].isdigit():
             accum = int(a[5:])
             continue
         # unknown/typo'd extras must not silently run under a wrong label
         # (same rule as the e2e_ab CLI, commit 36d8c0b)
-        raise SystemExit(f"unknown arg {a!r}: expected 'remat', 'bf16state' "
-                         "or 'accumK' (e.g. accum4)")
+        raise SystemExit(f"unknown arg {a!r}: expected 'remat', 'dots', "
+                         "'bf16state' or 'accumK' (e.g. accum4)")
     rng = np.random.default_rng(0)
     batch = {
         "token": jnp.asarray(rng.integers(0, 30522, (B, 256)), jnp.int32),
@@ -63,12 +66,13 @@ def main():
     sd = "bfloat16" if bf16_state else "float32"
     cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
                     m3ae_size=size, scan_blocks=True, remat_blocks=remat,
+                    remat_policy=policy,
                     grad_accum=accum, batch_size=B, train=True,
                     opt_dtype=sd,
                     accum_dtype=sd if accum > 1 else "float32").validate()
     model = M3AEClassifier(n_classes=101, gs_flag=True, model_type=size,
                            scan_blocks=True, remat_blocks=remat,
-                           dtype=jnp.bfloat16)
+                           remat_policy=policy, dtype=jnp.bfloat16)
     spec = optim.make_spec(cfg)
     t0 = time.perf_counter()
     state = create_train_state(model, cfg, batch, spec)
@@ -96,7 +100,8 @@ def main():
 
     out = {
         "device": jax.devices()[0].device_kind, "size": size, "batch": B,
-        "remat": remat, "grad_accum": accum, "state_dtype": sd,
+        "remat": remat, "remat_policy": policy,
+        "grad_accum": accum, "state_dtype": sd,
         "params_m": round(n_params / 1e6, 1),
         "step_ms": round(dt * 1e3, 1),
         "clips_per_sec": round(B / dt, 1),

@@ -9,7 +9,7 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8] [rungs=1,16]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8|int8_a8] [rungs=1,16]
 (large/huge: scan-blocks M3AE at that size, default ladder (1, 16);
  bf16/int8: --export_dtype weight precision of the artifact;
  rungs=...: override the batch ladder, e.g. rungs=1 to bench one rung
@@ -99,12 +99,14 @@ def main():
         wdtype = "bfloat16"
     if "int8" in argv:
         wdtype = "int8"
+    if "int8_a8" in argv:
+        wdtype = "int8_a8"
     rung_override = None
     for a in list(argv):
         if a.startswith("rungs="):
             rung_override = tuple(int(x) for x in a[6:].split(","))
             argv.remove(a)
-    argv = [a for a in argv if a not in ("bf16", "int8")]
+    argv = [a for a in argv if a not in ("bf16", "int8", "int8_a8")]
     unknown = [a for a in argv[1:]]
     if unknown:
         raise SystemExit(f"unknown extra args {unknown}")

@@ -369,9 +369,10 @@ class MLAConfig:
         if any(b < 1 for b in self.export_batch_sizes):
             raise ValueError("--export_batch_sizes must be positive, got "
                              f"{self.export_batch_sizes}")
-        if self.export_dtype not in ("float32", "bfloat16", "int8"):
-            raise ValueError("--export_dtype must be float32, bfloat16 or "
-                             f"int8, got {self.export_dtype!r}")
+        if self.export_dtype not in ("float32", "bfloat16", "int8",
+                                     "int8_a8"):
+            raise ValueError("--export_dtype must be float32, bfloat16, "
+                             f"int8 or int8_a8, got {self.export_dtype!r}")
         if self.export_dtype != "float32" and not self.export_dir:
             raise ValueError("--export_dtype needs --export_dir")
         if self.pp_microbatches and not self.scan_blocks:
@@ -605,11 +606,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a reference-loadable torch .pth (main.py "
                         "saved_dict layout) from the final/restored state")
     p.add_argument("--export_dtype", default=d.export_dtype, type=str,
-                   choices=("float32", "bfloat16", "int8"),
+                   choices=("float32", "bfloat16", "int8", "int8_a8"),
                    help="--export_dir artifact weight precision; bfloat16 "
                         "halves weight bytes (storage + device HBM), int8 "
-                        "quarters the big kernels (weight-only, in-graph "
-                        "dequant)")
+                        "quarters the big kernels (weight-only, fused "
+                        "Pallas dequant), int8_a8 also quantizes "
+                        "activations per-row (W8A8 s8xs8 MXU)")
     return p
 
 

@@ -28,6 +28,13 @@ xavier_normal = nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+# Trace-time switch (set by runtime/export.py around the int8_a8 serving
+# trace, like parallel/sp.enable): when True, QDense's int8 path also
+# quantizes activations per-row so the MXU runs s8 x s8 at the chip's int8
+# rate (W8A8 — ops/q8_matmul.py a8).
+q8_a8_enabled = False
+
+
 class QDense(nn.Dense):
     """nn.Dense that serves int8 weights through the dequant-fused GEMM.
 
@@ -50,7 +57,7 @@ class QDense(nn.Dense):
                           self.param_dtype) if self.use_bias else None
         if kernel.dtype == jnp.int8:
             scale = self.get_variable("q8", "kernel_scale")
-            y = q8_matmul(inputs, kernel, scale)
+            y = q8_matmul(inputs, kernel, scale, a8=q8_a8_enabled)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y.astype(self.dtype) if self.dtype is not None else y

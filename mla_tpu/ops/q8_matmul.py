@@ -54,6 +54,26 @@ def q8_matmul_reference(x, q8, scale, dtype=jnp.bfloat16):
     return jnp.dot(x.astype(dtype), w)
 
 
+def quantize_rows(x):
+    """Symmetric per-row dynamic int8 activation quantization (the A8 side
+    of W8A8 serving): (rows, K) float -> ((rows, K) int8, (rows,) f32)."""
+    xs = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs[:, None]),
+                  -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def q8_matmul_a8_reference(x, q8, scale):
+    """jnp W8A8 law (fallback + test oracle): int32 exact accumulation of
+    the s8 x s8 dot, then row x column scales in fp32."""
+    xq, xs = quantize_rows(x)
+    acc = jax.lax.dot_general(xq, q8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * scale.reshape(1, -1) * xs[:, None]
+    return out.astype(jnp.bfloat16)
+
+
 def _divisors_desc(dim: int, cap: int, mult: int = 128):
     """Divisors of ``dim`` that are multiples of ``mult`` (lane/sublane
     tiling), <= cap, descending. Empty -> caller falls back to jnp."""
@@ -73,10 +93,11 @@ _VMEM_BUDGET = 10 * 2 ** 20
 
 
 def _choose_blocks(rows: int, k: int, n: int, cap_m: int, cap_k: int,
-                   cap_n: int):
+                   cap_n: int, row_mult: int = 16):
     """(bm, bk, bn) minimizing grid steps subject to the VMEM budget;
-    None when K or N has no 128-multiple divisor (fallback path)."""
-    bm = min(-(-rows // 16) * 16, cap_m)
+    None when K or N has no 128-multiple divisor (fallback path).
+    row_mult: sublane tile of the activation dtype (16 bf16, 32 int8)."""
+    bm = min(-(-rows // row_mult) * row_mult, cap_m)
     best = None
     for bk in _divisors_desc(k, cap_k):
         for bn in _divisors_desc(n, cap_n):
@@ -110,16 +131,43 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc):
                       ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def _q8_matmul_pallas(x, q8, scale, bm, bn, bk, interpret):
+def _kernel_a8(x_ref, w_ref, s_ref, o_ref, acc):
+    """W8A8: s8 x s8 into the MXU at the int8 rate, exact int32 accumulate;
+    the per-output-channel weight scale applies at flush (the per-row
+    activation scale is applied by the caller — XLA fuses it into the
+    output's first consumer)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = (acc[...].astype(jnp.float32)
+                      * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "a8"))
+def _q8_matmul_pallas(x, q8, scale, bm, bn, bk, interpret, a8=False):
     b, kdim = x.shape
     _, n = q8.shape
-    rows = -(-b // bm) * bm  # bf16 sublane-aligned: bm is a multiple of 16
-    xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
-        x.astype(jnp.bfloat16))
+    rows = -(-b // bm) * bm  # sublane-aligned: bm is a multiple of 16 (bf16)
+    #                          or 32 (int8 activations)
+    if a8:
+        xq, xs = quantize_rows(x)
+        xp = jnp.zeros((rows, kdim), jnp.int8).at[:b].set(xq)
+    else:
+        xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
+            x.astype(jnp.bfloat16))
     grid = (rows // bm, n // bn, kdim // bk)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_a8 if a8 else _kernel,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         grid=grid,
         in_specs=[
@@ -132,23 +180,33 @@ def _q8_matmul_pallas(x, q8, scale, bm, bn, bk, interpret):
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn),
+                                   jnp.int32 if a8 else jnp.float32)],
         interpret=interpret,
     )(xp, q8, scale)
+    if a8:
+        return (out[:b].astype(jnp.float32) * xs[:, None]
+                ).astype(jnp.bfloat16)
     return out[:b]
 
 
 def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
-              block_k: int = 2048, interpret: bool = False):
+              block_k: int = 2048, interpret: bool = False,
+              a8: bool = False):
     """x (..., K) float -> (..., N) bf16 via the int8 weight (K, N) and its
     per-output-channel scale ((1, N) or (N,)).
 
     Pallas on TPU when K and N tile (128-multiple divisors within the
     block caps); jnp reference otherwise. Leading dims are flattened into
-    the GEMM row axis; the row block is sublane-padded (multiple of 16).
-    block_* are upper bounds — the chooser takes the fewest grid steps
-    that fit VMEM. interpret=True runs the kernel in Pallas interpret mode
-    (CPU test tier).
+    the GEMM row axis; the row block is sublane-padded (multiple of 16,
+    or 32 under a8). block_* are upper bounds — the chooser takes the
+    fewest grid steps that fit VMEM. interpret=True runs the kernel in
+    Pallas interpret mode (CPU test tier).
+
+    a8=True additionally quantizes the activations per-row to int8 (W8A8):
+    the MXU consumes s8 x s8 at the chip's int8 rate with exact int32
+    accumulation, and the row x column scales apply in fp32 afterward —
+    the --export_dtype int8_a8 serving law.
     """
     if q8.ndim != 2:
         raise ValueError(f"q8_matmul takes a 2-D weight, got w{q8.shape}")
@@ -160,10 +218,12 @@ def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
                          f"for w{q8.shape}")
     on_tpu = jax.default_backend() == "tpu" or interpret
     blocks = _choose_blocks(x2.shape[0], q8.shape[0], q8.shape[1],
-                            block_m, block_k, block_n) if on_tpu else None
+                            block_m, block_k, block_n,
+                            row_mult=32 if a8 else 16) if on_tpu else None
     if blocks is None:
-        out = q8_matmul_reference(x2, q8, scale)
+        out = (q8_matmul_a8_reference if a8 else q8_matmul_reference)(
+            x2, q8, scale)
     else:
         bm, bk, bn = blocks
-        out = _q8_matmul_pallas(x2, q8, scale, bm, bn, bk, interpret)
+        out = _q8_matmul_pallas(x2, q8, scale, bm, bn, bk, interpret, a8)
     return out.reshape(lead + (q8.shape[1],)) if x.ndim != 2 else out

@@ -57,7 +57,8 @@ def feature_keys(model) -> Tuple[str, ...]:
     return FEATURE_KEYS[type(model).__name__]
 
 
-def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False):
+def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False,
+                    a8: bool = False):
     """(params, batch_stats, features) -> {'fused', 'logits_<m>'...}.
 
     `features` must contain the model's feature_keys plus 'valid' (float32
@@ -68,16 +69,24 @@ def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False):
     table to int8-native consumers (QDense -> ops/q8_matmul.py Pallas GEMM;
     the gather-then-dequantize embedding path) so int8 is what streams from
     HBM, and dequantizes the remainder (convs, heads) in-graph as before.
+    a8=True (weights_dtype 'int8_a8') additionally quantizes activations
+    per-row at each QDense site so the MXU runs s8 x s8 (W8A8).
     """
     modalities = modalities_of(cfg)
 
     def serve(params, batch_stats, features):
+        from mla_tpu.models import layers as _layers
         q8 = None
         if dequant:
             params, q8 = split_q8(params)
         valid = features["valid"]
-        out_m, fused = eval_logits(model, cfg, params, batch_stats, features,
-                                   valid, q8=q8)
+        prev = _layers.q8_a8_enabled
+        _layers.q8_a8_enabled = a8          # trace-time switch
+        try:
+            out_m, fused = eval_logits(model, cfg, params, batch_stats,
+                                       features, valid, q8=q8)
+        finally:
+            _layers.q8_a8_enabled = prev
         result = {"fused": fused.astype(jnp.float32)}
         for m in modalities:
             result[f"logits_{m}"] = out_m[m].astype(jnp.float32)
@@ -135,7 +144,7 @@ def _cast_weights(params, dtype: str):
     rounding of the stored weights. Integer leaves pass through."""
     if dtype == "float32":
         return params
-    if dtype == "int8":
+    if dtype in ("int8", "int8_a8"):    # a8 changes the graph, not weights
         return _quantize_int8(params)
     if dtype != "bfloat16":
         raise ValueError(f"export weights_dtype must be float32, bfloat16 "
@@ -271,7 +280,9 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
             f"batch_sizes must be positive ints, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
     keys = feature_keys(model)
-    serve = make_serving_fn(model, cfg, dequant=(weights_dtype == "int8"))
+    serve = make_serving_fn(
+        model, cfg, dequant=weights_dtype in ("int8", "int8_a8"),
+        a8=weights_dtype == "int8_a8")
     params = _cast_weights(host_fetch(state.params), weights_dtype)
     batch_stats = host_fetch(state.batch_stats) if state.batch_stats \
         else {}
@@ -355,7 +366,7 @@ def export_serving_sharded(cfg: MLAConfig, model, state, example_batch,
     from mla_tpu.parallel import tp
     from mla_tpu.parallel.mesh import MODEL_AXIS
 
-    if weights_dtype == "int8":
+    if weights_dtype in ("int8", "int8_a8"):
         raise ValueError("sharded export supports float32/bfloat16 weights")
     n_model = mesh.shape.get(MODEL_AXIS, 1)
     if n_model <= 1:

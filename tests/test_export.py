@@ -342,6 +342,33 @@ class TestExportInt8:
         assert (np.argmax(got["fused"], -1)
                 == np.argmax(np.asarray(fused), -1)).all()
 
+    def test_int8_a8_artifact_m3ae(self, tmp_path):
+        """W8A8 (--export_dtype int8_a8): same weight bytes as int8, the
+        graph additionally quantizes activations per-row at the QDense
+        sites (layers.q8_a8_enabled trace switch) — logits track the live
+        fp32-weight graph within the W8A8 band, predictions stable, and
+        the switch is reset after the trace."""
+        from mla_tpu.models import layers as mlayers
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out = str(tmp_path / "art8a8")
+        assert not mlayers.q8_a8_enabled
+        export_serving(cfg, model, state, batch, out, batch_sizes=(2,),
+                       weights_dtype="int8_a8")
+        assert not mlayers.q8_a8_enabled      # trace switch restored
+        srv = load_serving(out)
+        assert srv.meta["weights_dtype"] == "int8_a8"
+        got = srv({k: np.asarray(batch[k]) for k in srv.feature_names})
+        out_m, fused = _direct(model, cfg, state, batch, 2)
+        np.testing.assert_allclose(got["fused"], np.asarray(fused),
+                                   rtol=0.3, atol=0.25)
+        assert (np.argmax(got["fused"], -1)
+                == np.argmax(np.asarray(fused), -1)).all()
+
 
 class TestExportCLIP:
     def test_clip_fusion_module_path(self, tmp_path):

@@ -127,3 +127,51 @@ class TestQ8Matmul:
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestW8A8:
+    """a8=True: per-row activation quantization + s8 x s8 int32 kernel
+    (the --export_dtype int8_a8 serving law)."""
+
+    @pytest.mark.parametrize("b,k,n", [(1, 256, 384), (16, 512, 256),
+                                       (100, 384, 512)])
+    def test_kernel_matches_a8_law(self, b, k, n):
+        from mla_tpu.ops.q8_matmul import q8_matmul_a8_reference
+        x, q8, scale, _ = _case(b, k, n)
+        got = q8_matmul(x, q8, scale, block_n=128, block_k=128,
+                        interpret=True, a8=True)
+        assert got.shape == (b, n) and got.dtype == jnp.bfloat16
+        law = np.asarray(q8_matmul_a8_reference(x, q8, scale), np.float32)
+        # kernel output rounds to bf16 before the row scale (one extra
+        # rounding vs the law's single fp32 product) — bf16-ulp band
+        np.testing.assert_allclose(np.asarray(got, np.float32), law,
+                                   rtol=1.6e-2, atol=1e-3)
+
+    def test_error_bound_vs_fp32_truth(self):
+        """W8A8 adds activation-quant error on top of the weight quant; the
+        bound is still small relative to signal (~1% measured) and the
+        argmax of logit-scale outputs is stable."""
+        x, q8, scale, w = _case(8, 512, 64, seed=5)
+        exact = np.asarray(x) @ w
+        got = np.asarray(q8_matmul(x, q8, scale, block_n=128, block_k=128,
+                                   interpret=True, a8=True), np.float32)
+        rel = np.max(np.abs(got - exact)) / np.max(np.abs(exact))
+        assert rel < 0.05, rel
+        assert (got.argmax(-1) == exact.argmax(-1)).mean() >= 0.875
+
+    def test_quantize_rows_law(self):
+        from mla_tpu.ops.q8_matmul import quantize_rows
+        x = jnp.asarray([[0.0, 0.0], [1.0, -2.0], [127.0, 1.0]], jnp.float32)
+        xq, xs = quantize_rows(x)
+        assert xq.dtype == jnp.int8 and xs.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(xq)[0], [0, 0])   # zero row
+        np.testing.assert_array_equal(np.asarray(xq)[1], [64, -127])
+        np.testing.assert_allclose(np.asarray(xs)[2], 1.0)
+        np.testing.assert_array_equal(np.asarray(xq)[2], [127, 1])
+
+    def test_a8_fallback_matches_law(self):
+        from mla_tpu.ops.q8_matmul import q8_matmul_a8_reference
+        x, q8, scale, _ = _case(2, 200, 96)       # untileable -> jnp path
+        got = q8_matmul(x, q8, scale, a8=True)
+        law = q8_matmul_a8_reference(x, q8, scale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(law))
