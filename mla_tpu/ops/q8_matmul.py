@@ -190,6 +190,92 @@ def _q8_matmul_pallas(x, q8, scale, bm, bn, bk, interpret, a8=False):
     return out[:b]
 
 
+def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc):
+    """Same math as _kernel; the weight/scale blocks arrive with a leading
+    singleton layer axis selected by the scalar-prefetched layer id."""
+    del l_ref  # consumed by the index maps only
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = (acc[...] * s_ref[0].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def _q8_stacked_pallas(x, q8, scale, layer, bm, bn, bk, interpret):
+    b, kdim = x.shape
+    _, _, n = q8.shape
+    rows = -(-b // bm) * bm
+    xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
+        x.astype(jnp.bfloat16))
+    grid = (rows // bm, n // bn, kdim // bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k, l: (l[0], k, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _kernel_stacked,
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, q8, scale)
+    return out[:b]
+
+
+def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
+                      block_n: int = 2048, block_k: int = 2048,
+                      interpret: bool = False):
+    """Layer ``layer`` of a stacked int8 GEMM: x @ (q8[layer] * scale[layer]).
+
+    q8 is the FULL (L, K, N) int8 stack living in HBM; the traced layer id
+    rides Pallas scalar prefetch, so the kernel's DMAs read the selected
+    layer's tiles in place — no HBM->HBM materialization of the per-layer
+    slice, which is what a lax.scan body pays when it feeds a sliced
+    operand to a Pallas custom call (~+1 byte/weight of HBM traffic; see
+    BASELINE.md round-4 int8 analysis). This is the weight-read law the
+    int8 scan-blocks serving graph routes through (models/m3ae.py).
+
+    scale: (L, N) or (L, 1, N) per-(layer, output-channel). Fallback: jnp
+    reference on the dynamically sliced layer when shapes don't tile.
+    """
+    if q8.ndim != 3:
+        raise ValueError(f"q8_matmul_stacked takes (L,K,N), got {q8.shape}")
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
+    ldim, kdim, n = q8.shape
+    scale3 = scale.reshape(ldim, 1, n)
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    blocks = _choose_blocks(x2.shape[0], kdim, n, block_m, block_k,
+                            block_n) if on_tpu else None
+    if blocks is None:
+        li = jnp.asarray(layer, jnp.int32)
+        out = q8_matmul_reference(
+            x2, jax.lax.dynamic_index_in_dim(q8, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scale3, li, 0, keepdims=False))
+    else:
+        bm, bk, bn = blocks
+        out = _q8_stacked_pallas(x2, q8, scale3, layer, bm, bn, bk,
+                                 interpret)
+    return out.reshape(lead + (n,)) if x.ndim != 2 else out
+
+
 def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
               block_k: int = 2048, interpret: bool = False,
               a8: bool = False):

@@ -175,3 +175,78 @@ class TestW8A8:
         got = q8_matmul(x, q8, scale, a8=True)
         law = q8_matmul_a8_reference(x, q8, scale)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(law))
+
+
+class TestQ8Stacked:
+    """q8_matmul_stacked: layer `l` of an (L,K,N) int8 stack selected by
+    Pallas scalar prefetch — the weight-read law for the scan-blocks int8
+    serving graph (no HBM->HBM slice copy per layer)."""
+
+    def _stack(self, L, k, n, seed=0):
+        rng = np.random.default_rng(seed)
+        w = (rng.normal(size=(L, k, n)) / np.sqrt(k)).astype(np.float32)
+        amax = np.max(np.abs(w), axis=1, keepdims=True)
+        scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+        q8 = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(q8), jnp.asarray(scale)
+
+    def test_selects_each_layer(self):
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(3, 256, 128)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 256)),
+                        jnp.bfloat16)
+        for l in range(3):
+            got = q8_matmul_stacked(x, q8, scale, l, block_m=16,
+                                    block_n=128, block_k=128,
+                                    interpret=True)
+            ref = q8_matmul(x, q8[l], scale[l], block_n=128, block_k=128,
+                            interpret=True)
+            assert got.shape == ref.shape == (5, 128)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=1e-2, atol=1e-3)
+
+    def test_traced_layer_index_under_scan(self):
+        """The layer id may be a traced scalar (lax.scan xs) — the shape
+        the serving graph uses."""
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(3, 256, 128, seed=2)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 256)),
+                        jnp.bfloat16)
+
+        @jax.jit
+        def scan_sum(x, q8, scale):
+            def body(acc, li):
+                y = q8_matmul_stacked(x, q8, scale, li, block_m=16,
+                                      block_n=128, block_k=128,
+                                      interpret=True)
+                return acc + y.astype(jnp.float32), None
+            y0 = jnp.zeros((x.shape[0], q8.shape[-1]), jnp.float32)
+            return jax.lax.scan(body, y0, jnp.arange(q8.shape[0]))[0]
+
+        got = scan_sum(x, q8, scale)
+        want = sum(np.asarray(q8_matmul_reference(x, q8[l], scale[l]),
+                              np.float32) for l in range(3))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2,
+                                   atol=2e-2)
+
+    def test_leading_dims_and_validation(self):
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(2, 256, 128, seed=4)
+        x3 = jnp.asarray(np.random.default_rng(5).normal(size=(2, 3, 256)),
+                         jnp.bfloat16)
+        got = q8_matmul_stacked(x3, q8, scale, 1, block_m=16, block_n=128,
+                                block_k=128, interpret=True)
+        assert got.shape == (2, 3, 128)
+        with pytest.raises(ValueError, match="L,K,N"):
+            q8_matmul_stacked(x3, q8[0], scale[0], 0)
+
+    def test_fallback_untileable(self):
+        """K with no >=128 divisor -> dynamic-index jnp reference."""
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(2, 100, 128, seed=6)
+        x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 100)),
+                        jnp.bfloat16)
+        got = q8_matmul_stacked(x, q8, scale, 1)
+        ref = q8_matmul_reference(x, q8[1], scale[1])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
