@@ -73,9 +73,12 @@ def main():
     for name, (b, h, w, c) in SHAPES.items():
         if name not in only:
             continue
-        x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        # bf16 in/out — the flagship train step's compute dtype (the round-2
+        # 69.6 TF/s XLA envelope row was measured bf16; an fp32 harness
+        # under-reads XLA ~3x and makes the comparison meaningless)
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(3, 3, c, c)) / np.sqrt(9 * c),
-                        jnp.float32)
+                        jnp.bfloat16)
         gf = flops(b, h, w, c, c) / 1e9
         row = {"shape": name, "BHWC": (b, h, w, c), "gflop": round(gf, 1)}
         if mode == "fwd":
