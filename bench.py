@@ -33,14 +33,18 @@ def bench_tpu(steps=20):
     import jax.numpy as jnp
     from mla_tpu.core.config import MLAConfig
     from mla_tpu.data import transforms as T
-    from mla_tpu.models.classifiers import AVClassifier
+    from mla_tpu.models.classifiers import build_classifier, resolve_pallas_conv
     from mla_tpu.ops import image as im
     from mla_tpu.train import optim, steps as steps_lib
     from mla_tpu.train.state import create_train_state
 
     cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                     train=True).validate()
-    model = AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.bfloat16)
+    # the driver's own factory, so the bench measures exactly the model the
+    # driver ships (incl. the resolve_pallas_conv routing — hand-building
+    # AVClassifier here silently dropped the Pallas conv in rounds 3-4)
+    model = build_classifier(cfg, dtype=jnp.bfloat16)
+    assert model.pallas_conv == resolve_pallas_conv(cfg)
     rng = np.random.default_rng(0)
 
     canon = T.CANONICAL[IMG]

@@ -80,7 +80,10 @@ def main():
         k = jnp.asarray(rng.normal(size=(3, 3, c, c)) / np.sqrt(9 * c),
                         jnp.bfloat16)
         gf = flops(b, h, w, c, c) / 1e9
-        row = {"shape": name, "BHWC": (b, h, w, c), "gflop": round(gf, 1)}
+        # record the measurement basis: round-2 envelope rows were fp32,
+        # round-4+ rows are bf16 — incomparable under the same label
+        row = {"shape": name, "BHWC": (b, h, w, c), "gflop": round(gf, 1),
+               "dtype": "bf16"}
         if mode == "fwd":
             f_xla = chain(conv3x3_reference)
             f_flat = chain(lambda x, k: conv3x3(x, k, flatten=True))

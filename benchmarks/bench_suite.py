@@ -68,8 +68,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from mla_tpu.core.config import MLAConfig
-    from mla_tpu.models.classifiers import (AVClassifier, M3AEClassifier,
-                                            Modal3Classifier)
+    # every config builds through the driver's factory so the suite measures
+    # exactly what `python main.py` runs (resolve_pallas_conv, masked_bn,
+    # resnet_stages... — hand-built AVClassifier() calls drifted in round 4)
+    from mla_tpu.models.classifiers import build_classifier
     rng = np.random.default_rng(0)
     B = 64
     results = []
@@ -87,22 +89,20 @@ def main():
     cfg = MLAConfig(dataset="CREMAD", lorb="base", train=True).validate()
     results.append(bench_config(
         "cremad_base_normal", cfg,
-        AVClassifier(n_classes=6, dtype=jnp.bfloat16), av_batch()))
+        build_classifier(cfg, dtype=jnp.bfloat16), av_batch()))
 
     # 2. CREMA-D MLA (gs)
     cfg = MLAConfig(dataset="CREMAD", lorb="base", gs_flag=True,
                     train=True).validate()
     results.append(bench_config(
         "cremad_mla", cfg,
-        AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.bfloat16),
-        av_batch()))
+        build_classifier(cfg, dtype=jnp.bfloat16), av_batch()))
 
     # 3. CREMA-D MLA dynamic eval
     cfgd = cfg.replace(dynamic=True)
     results.append(bench_eval(
         "cremad_mla_dynamic_eval", cfgd,
-        AVClassifier(n_classes=6, gs_flag=True, dtype=jnp.bfloat16),
-        av_batch()))
+        build_classifier(cfgd, dtype=jnp.bfloat16), av_batch()))
 
     # 4. Food-101/MVSA m3ae MLA (base-size encoders, 256 tokens, 256px)
     m3ae_batch = {
@@ -117,8 +117,7 @@ def main():
                     train=True).validate()
     results.append(bench_config(
         "food101_m3ae_mla", cfg,
-        M3AEClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16),
-        m3ae_batch))
+        build_classifier(cfg, dtype=jnp.bfloat16), m3ae_batch))
 
     # 5. IEMOCAP modal3 MLA
     m3_batch = dict(m3ae_batch)
@@ -129,11 +128,9 @@ def main():
                     train=True).validate()
     results.append(bench_config(
         "iemocap_modal3_mla", cfg,
-        Modal3Classifier(n_classes=4, gs_flag=True, dtype=jnp.bfloat16),
-        m3_batch))
+        build_classifier(cfg, dtype=jnp.bfloat16), m3_batch))
 
     # 6/7. Food-101 CLIP (precomputed 512-d features — fusion-head only)
-    from mla_tpu.models.classifiers import CLIPClassifier
     clip_batch = {
         "token_feat": jnp.asarray(rng.standard_normal((B, 512)), jnp.float32),
         "image_feat": jnp.asarray(rng.standard_normal((B, 512)), jnp.float32),
@@ -144,12 +141,11 @@ def main():
                     train=True).validate()
     results.append(bench_config(
         "food101_clip_mla", cfg,
-        CLIPClassifier(n_classes=101, gs_flag=True, dtype=jnp.bfloat16),
-        clip_batch))
+        build_classifier(cfg, dtype=jnp.bfloat16), clip_batch))
     cfg = MLAConfig(dataset="Food101", clip=True, train=True).validate()
     results.append(bench_config(
         "food101_clip_normal", cfg,
-        CLIPClassifier(n_classes=101, dtype=jnp.bfloat16), clip_batch))
+        build_classifier(cfg, dtype=jnp.bfloat16), clip_batch))
 
     print(json.dumps({"device": jax.devices()[0].device_kind,
                       "results": results}, indent=2))

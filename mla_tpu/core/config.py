@@ -220,9 +220,10 @@ class MLAConfig:
                                       # tests/CI for reduced-resolution runs
     pallas_conv: str = "auto"         # Pallas width-window 3x3 conv for the
                                       # ResNet body (ops/conv3x3.py): 'auto'
-                                      # (on for single-chip TPU) | 'on' |
-                                      # 'off'. Off-TPU the op is a lax.conv
-                                      # either way.
+                                      # == 'off' (measured slower than XLA's
+                                      # conv on-chip, BASELINE round-5) |
+                                      # 'on' (single-chip experiment). Off-
+                                      # TPU the op is a lax.conv either way.
     resnet_stages: Tuple[int, ...] = (2, 2, 2, 2)
                                       # blocks per ResNet stage for the `base`
                                       # backbones (reference parity: ResNet-18

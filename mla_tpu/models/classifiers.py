@@ -385,17 +385,18 @@ def build_classifier(cfg: MLAConfig, dtype=None) -> nn.Module:
 
 
 def resolve_pallas_conv(cfg: MLAConfig) -> bool:
-    """'auto' engages the Pallas conv on a single real TPU chip only: under
-    multi-chip GSPMD a pallas_call is opaque to the partitioner (it would
-    replicate the conv), so DP/TP runs keep XLA's conv until a shard_map
-    wrapping lands. 'on' forces it (the op still falls back off-TPU or on
-    ineligible shapes — ops/conv3x3.py)."""
-    if cfg.pallas_conv == "on":
-        return True
-    if cfg.pallas_conv == "off":
-        return False
-    import jax
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    """'auto' resolves to OFF: the round-5 on-chip envelope (BASELINE.md
+    round-5; benchmarks/bench_conv.py, bf16) measured XLA's conv ahead of the
+    Pallas width-window kernel on every ResNet body shape — vis_l1 43.4 vs
+    29.5 TF/s, vis_l2 64.6 vs 40.1, vis_l4 49.7 vs 49.3, aud_l1 25.6 vs 16.8
+    — and the flagship CREMA-D step regressed 49.1 -> 90.2 ms with the kernel
+    engaged. XLA's implicit-GEMM conv already tiles these shapes onto the MXU
+    with better input reuse than the width-window formulation's halo reloads.
+    The kernel stays available as a measured experiment via 'on' (the op
+    still falls back off-TPU or on ineligible shapes — ops/conv3x3.py;
+    under multi-chip GSPMD a bare pallas_call is opaque to the partitioner,
+    so 'on' is a single-chip experiment switch)."""
+    return cfg.pallas_conv == "on"
 
 
 def modalities_of(cfg: MLAConfig):

@@ -142,7 +142,7 @@ class TestScope:
         assert resolve_pallas_conv(cfg)
         cfg = MLAConfig(dataset="CREMAD", pallas_conv="off")
         assert not resolve_pallas_conv(cfg)
-        # auto is off on the CPU test platform (8 virtual devices)
+        # auto == off everywhere since the round-5 on-chip negative result
         cfg = MLAConfig(dataset="CREMAD")
         assert not resolve_pallas_conv(cfg)
         with pytest.raises(ValueError):
