@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mla_tpu.ops.attention import fused_attention_qkv
-from mla_tpu.ops.q8_matmul import q8_matmul
+from mla_tpu.ops.q8_matmul import q8_matmul, q8_matmul_stacked
 from mla_tpu.parallel import sp
 
 Dtype = Any
@@ -33,6 +33,16 @@ kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # quantizes activations per-row so the MXU runs s8 x s8 at the chip's int8
 # rate (W8A8 — ops/q8_matmul.py a8).
 q8_a8_enabled = False
+
+# Trace-time layer id for the stacked int8 serving path: when an int8
+# scan-blocks artifact applies (models/m3ae.py:_q8_stacked_scan), QDense
+# receives the FULL (L, K, N) int8 kernel stack and reads the current
+# layer's tiles via Pallas scalar prefetch (ops/q8_matmul.py
+# q8_matmul_stacked) — no per-layer HBM->HBM weight materialization. The
+# scan body sets this to its loop-carried layer index (a tracer; consistent
+# because lax.scan traces the body exactly once) before block.apply and
+# restores it after.
+q8_stacked_layer = None
 
 
 class QDense(nn.Dense):
@@ -50,14 +60,28 @@ class QDense(nn.Dense):
 
     @nn.compact
     def __call__(self, inputs):
-        kernel = self.param("kernel", self.kernel_init,
-                            (jnp.shape(inputs)[-1], self.features),
-                            self.param_dtype)
+        restored = self.get_variable("params", "kernel") \
+            if self.has_variable("params", "kernel") else None
+        if restored is not None and restored.dtype == jnp.int8:
+            # int8 kernels bypass self.param: a stacked (L, K, N) kernel
+            # (the scan-blocks serving path) would fail flax's param shape
+            # check, and serving never differentiates these leaves anyway.
+            kernel = restored
+        else:
+            kernel = self.param("kernel", self.kernel_init,
+                                (jnp.shape(inputs)[-1], self.features),
+                                self.param_dtype)
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype) if self.use_bias else None
         if kernel.dtype == jnp.int8:
             scale = self.get_variable("q8", "kernel_scale")
-            y = q8_matmul(inputs, kernel, scale, a8=q8_a8_enabled)
+            if kernel.ndim == 3:
+                # full (L, K, N) stack: the traced layer id (set by
+                # m3ae._q8_stacked_scan) selects tiles via scalar prefetch
+                y = q8_matmul_stacked(inputs, kernel, scale,
+                                      q8_stacked_layer)
+            else:
+                y = q8_matmul(inputs, kernel, scale, a8=q8_a8_enabled)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y.astype(self.dtype) if self.dtype is not None else y

@@ -185,12 +185,67 @@ class M3AEEncoder(nn.Module):
                 mesh, n_micro, remat = tc
                 x = pp.pipeline_blocks(block, stacked, x, padding_mask, mesh,
                                        n_micro, remat=remat)
+            elif (not self.is_initializing() and self._blocks_q8_stacked()):
+                x = self._q8_stacked_scan(x, padding_mask)
             else:
                 x, _ = self.blocks_scanned(x, padding_mask)
         else:
             for blk in self.blocks:
                 x = blk(x, padding_mask)
         return self.final_norm(x)
+
+    def _blocks_q8_stacked(self) -> bool:
+        """True when the restored block stack carries stacked int8 kernels —
+        an --export_dtype int8 + --scan_blocks serving artifact
+        (runtime/export.py:split_q8 keeps the (L, K, N) layer axis). W8A8
+        (q8_a8_enabled) keeps the nn.scan path: the stacked kernel has no a8
+        variant, and the per-layer slice it pays is the documented trade."""
+        from mla_tpu.models import layers as layers_mod
+        if layers_mod.q8_a8_enabled:
+            return False
+        try:
+            k = self.variables["params"]["blocks"]["attn"]["qkv"]["kernel"]
+        except (KeyError, TypeError):
+            return False
+        return getattr(k, "ndim", 0) == 3 and k.dtype == jnp.int8
+
+    def _q8_stacked_scan(self, x, padding_mask):
+        """int8 scan-blocks serving: lax.scan over a detached block template
+        (the pp-branch pattern) with the big int8 kernel stacks passed WHOLE.
+
+        nn.scan's variable_axes={'params': 0} slices every leaf per layer
+        inside the scan body, and a Pallas custom call can only consume that
+        slice after an HBM->HBM materialization (~+1 byte/weight of traffic;
+        BASELINE.md round-4 int8 analysis). Here only the small float leaves
+        (LN scales, biases) are sliced; the (L, K, N) int8 kernels stay whole
+        and QDense reads the current layer's tiles in place via Pallas scalar
+        prefetch (ops/q8_matmul.py:q8_matmul_stacked), keyed by the
+        loop-carried layer id published through layers.q8_stacked_layer."""
+        from mla_tpu.models import layers as layers_mod
+        c = self.config
+        block = M3AEBlock(c.emb_dim, c.num_heads, c.mlp_ratio,
+                          dtype=self.dtype, parent=None)
+        stacked = self.variables["params"]["blocks"]
+        scales = self.variables["q8"]["blocks"]
+
+        def body(carry, _):
+            xc, li = carry
+            per_layer = jax.tree.map(
+                lambda a: a if a.dtype == jnp.int8
+                else jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+                stacked)
+            prev = layers_mod.q8_stacked_layer
+            layers_mod.q8_stacked_layer = li
+            try:
+                y = block.apply({"params": per_layer, "q8": scales}, xc,
+                                padding_mask)
+            finally:
+                layers_mod.q8_stacked_layer = prev
+            return (y, li + 1), None
+
+        (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), None,
+                                 length=c.depth)
+        return x
 
     # Split entry points for pipeline parallelism (parallel/pp.py): ``embed``
     # covers everything before the block stack, ``finalize`` everything after.

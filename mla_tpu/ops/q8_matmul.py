@@ -260,15 +260,17 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
     ldim, kdim, n = q8.shape
+    # one clamp law for both paths: the Pallas index maps would otherwise
+    # pass a raw OOB id into the DMA while the jnp fallback clamps
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32), 0, ldim - 1)
     scale3 = scale.reshape(ldim, 1, n)
     on_tpu = jax.default_backend() == "tpu" or interpret
     blocks = _choose_blocks(x2.shape[0], kdim, n, block_m, block_k,
                             block_n) if on_tpu else None
     if blocks is None:
-        li = jnp.asarray(layer, jnp.int32)
         out = q8_matmul_reference(
-            x2, jax.lax.dynamic_index_in_dim(q8, li, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(scale3, li, 0, keepdims=False))
+            x2, jax.lax.dynamic_index_in_dim(q8, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scale3, layer, 0, keepdims=False))
     else:
         bm, bk, bn = blocks
         out = _q8_stacked_pallas(x2, q8, scale3, layer, bm, bn, bk,

@@ -250,3 +250,27 @@ class TestQ8Stacked:
         got = q8_matmul_stacked(x, q8, scale, 1)
         ref = q8_matmul_reference(x, q8[1], scale[1])
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("oob,want", [(-5, 0), (7, 2)])
+    def test_oob_layer_clamps_on_both_paths(self, oob, want):
+        """One clamp law shared by the Pallas and jnp paths: an OOB layer id
+        selects the nearest valid layer instead of diverging (the Pallas
+        index maps would otherwise DMA from a raw OOB offset while the
+        fallback's dynamic_index clamps)."""
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(3, 256, 128, seed=8)
+        x = jnp.asarray(np.random.default_rng(9).normal(size=(2, 256)),
+                        jnp.bfloat16)
+        # Pallas (interpret) path
+        got_p = q8_matmul_stacked(x, q8, scale, oob, block_m=16,
+                                  block_n=128, block_k=128, interpret=True)
+        ref_p = q8_matmul_stacked(x, q8, scale, want, block_m=16,
+                                  block_n=128, block_k=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+        # jnp fallback path (untileable K)
+        q8u, scaleu = self._stack(3, 100, 128, seed=10)
+        xu = jnp.asarray(np.random.default_rng(11).normal(size=(2, 100)),
+                         jnp.bfloat16)
+        got_f = q8_matmul_stacked(xu, q8u, scaleu, oob)
+        ref_f = q8_matmul_stacked(xu, q8u, scaleu, want)
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
