@@ -598,6 +598,23 @@ def load_serving(out_dir: str) -> ServingModel:
     return ServingModel(out_dir)
 
 
+def load_artifact(out_dir: str, mesh=None):
+    """Open an export directory as whichever loader wrote it: meta carrying
+    ``mesh_shape`` means a TP-sharded artifact (export_serving_sharded) and
+    loads ShardedServingModel; otherwise the single-device ServingModel.
+    Both expose the same request API (feature_names/batch_sizes/
+    validate_request/pad_request/__call__), so serve.py's batch, HTTP and
+    coalescing front ends work over either."""
+    with open(os.path.join(out_dir, _META)) as f:
+        meta = json.load(f)
+    if "mesh_shape" in meta:
+        return ShardedServingModel(out_dir, mesh)
+    if mesh is not None:
+        raise ValueError("mesh given, but the artifact is single-device "
+                         "(no mesh_shape in meta.json)")
+    return ServingModel(out_dir)
+
+
 def export_from_driver(cfg: MLAConfig, model, state, sample_batch) -> str:
     """Driver hook for --export_dir: export after params are built/restored.
 

@@ -48,7 +48,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from mla_tpu.runtime.export import load_serving
+from mla_tpu.runtime.export import load_artifact
 
 
 class DispatchError(RuntimeError):
@@ -302,7 +302,8 @@ def main(argv=None):
     if args.coalesce_ms < 0:
         raise SystemExit("--coalesce_ms must be >= 0")
 
-    srv = load_serving(args.artifact)
+    # single-device or TP-sharded artifact — same request API either way
+    srv = load_artifact(args.artifact)
     if args.http is not None:
         httpd = make_server(srv, args.http, args.host, args.coalesce_ms)
         print(json.dumps({"serving": srv.meta["family"],

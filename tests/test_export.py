@@ -342,6 +342,50 @@ class TestExportInt8:
         assert (np.argmax(got["fused"], -1)
                 == np.argmax(np.asarray(fused), -1)).all()
 
+    def test_int8_scan_blocks_routes_stacked_and_matches_sliced(
+            self, tmp_path, monkeypatch):
+        """The int8+scan_blocks serving graph reads block weights through
+        q8_matmul_stacked — whole (L, K, N) stacks, scalar-prefetch layer
+        selection (m3ae._q8_stacked_scan) — and computes exactly what the
+        per-layer nn.scan slicing computed before the rewire."""
+        from mla_tpu.models import layers as mlayers
+        from mla_tpu.models.m3ae import M3AEEncoder
+        from mla_tpu.runtime.export import (_quantize_int8, host_fetch,
+                                            make_serving_fn)
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        serve = make_serving_fn(model, cfg, dequant=True)
+        params = _quantize_int8(host_fetch(state.params))
+        feats = {k: jnp.asarray(np.asarray(batch[k]))
+                 for k in feature_keys(model)}
+        feats["valid"] = jnp.ones(cfg.batch_size, jnp.float32)
+
+        calls = []
+        orig = mlayers.q8_matmul_stacked
+
+        def spy(x, q8, scale, layer, **kw):
+            calls.append(tuple(q8.shape))
+            return orig(x, q8, scale, layer, **kw)
+
+        monkeypatch.setattr(mlayers, "q8_matmul_stacked", spy)
+        got = jax.jit(serve)(params, state.batch_stats or {}, feats)
+        # every block Dense site (qkv/proj/fc1/fc2) saw the FULL stack
+        depth = 2  # m3ae 'debug'
+        assert calls and all(s[0] == depth and len(s) == 3 for s in calls)
+
+        # force the old nn.scan sliced path: same numbers exactly
+        monkeypatch.setattr(M3AEEncoder, "_blocks_q8_stacked",
+                            lambda self: False)
+        ref = jax.jit(serve)(params, state.batch_stats or {}, feats)
+        for k in got:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]),
+                                       rtol=0, atol=1e-6)
+
     def test_int8_a8_artifact_m3ae(self, tmp_path):
         """W8A8 (--export_dtype int8_a8): same weight bytes as int8, the
         graph additionally quantizes activations per-row at the QDense
@@ -929,6 +973,62 @@ class TestExportSharded:
         # wrong-shape mesh is rejected with direction
         with pytest.raises(ValueError, match="exported for mesh"):
             load_serving_sharded(out_s, make_mesh(mesh_shape=(2, 4)))
+
+    def test_sharded_artifact_through_serve_front_end(self, tmp_path):
+        """VERDICT r4 #10: the HTTP batcher/coalescer composes with
+        ShardedServingModel — load_artifact auto-detects the artifact kind
+        from meta.json, and two concurrent 1-row submits merge into ONE
+        sharded device dispatch whose rows equal the merged direct call."""
+        import threading
+
+        from mla_tpu.parallel.mesh import make_mesh
+        from mla_tpu.runtime import serve
+        from mla_tpu.runtime.export import (ShardedServingModel,
+                                            export_serving_sharded,
+                                            load_artifact)
+
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        mesh = make_mesh(mesh_shape=(4, 2))
+        out_s = str(tmp_path / "sharded")
+        export_serving_sharded(cfg, model, state, batch, out_s, mesh,
+                               batch_sizes=(2,))
+
+        srv = load_artifact(out_s)
+        assert isinstance(srv, ShardedServingModel)
+        feats = {k: np.asarray(jnp.asarray(batch[k], jnp.float32))
+                 for k in srv.feature_names}
+        b = serve.Batcher(srv, wait_ms=2000.0)
+        results = {}
+
+        def one(i):
+            results[i] = b.submit({k: v[i:i + 1] for k, v in feats.items()})
+
+        try:
+            ts = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=60)
+            assert b.stats["dispatches"] == 1
+            assert b.stats["coalesced_batches"] == 1
+            merged = srv(feats)
+            for i in range(2):
+                for k in merged:
+                    np.testing.assert_array_equal(results[i][k],
+                                                  merged[k][i:i + 1])
+        finally:
+            b.close()
+        # a mesh argument on a single-device artifact is a usage error
+        out_1 = str(tmp_path / "single")
+        export_serving(cfg, model, state, batch, out_1, batch_sizes=(2,))
+        assert type(load_artifact(out_1)).__name__ == "ServingModel"
+        with pytest.raises(ValueError, match="single-device"):
+            load_artifact(out_1, mesh)
 
     def test_sharded_export_rejects_int8_and_pure_dp(self, tmp_path):
         from mla_tpu.parallel.mesh import make_mesh
