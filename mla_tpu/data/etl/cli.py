@@ -13,6 +13,8 @@ preprocessing are bit-identical.
   extract-token     BERT-base-uncased tokens, max_len 256, no special tokens;
                     saves *_token.npy + *_pm.npy = 1-attention_mask
                     (extract_token.py:38-50)
+  preprocess-iemo   one-shot IEMOCAP: fbank + tokens + 256x256 face crops
+                    per split (preprocess_iemo.py:14-181)
   gen-stat          class list from datalists (gen_stat.py)
   gen-txt           random split datalists (gen_*_txt.py)
 """
@@ -128,48 +130,115 @@ def cmd_video_frames(args):
             print(f"Fail @ {f}")
 
 
-def cmd_extract_token(args):
-    os.makedirs(args.out_dir, exist_ok=True)
-    if args.vocab:
+def _make_encoder(vocab, tokenizer, max_length):
+    """text -> (ids (1, L) int64, pm (1, L) float32) with extract_token.py's
+    exact call contract (add_special_tokens=False, padding='max_length',
+    pm = 1 - attention_mask). Shared by extract-token and preprocess-iemo."""
+    if vocab:
         # self-contained C++ WordPiece (native/wordpiece.cc)
         from mla_tpu.data.wordpiece import WordPieceTokenizer
-        wp = WordPieceTokenizer(args.vocab)
-        encode = lambda text: wp.encode(text, args.max_length)
-    else:
-        from transformers import BertTokenizer
-        try:  # cached copy first: skips minutes of hub connect timeouts
-            tok = BertTokenizer.from_pretrained(args.tokenizer,
-                                                local_files_only=True)
-        except Exception:
-            try:
-                tok = BertTokenizer.from_pretrained(args.tokenizer)
-            except Exception as e:
-                raise SystemExit(
-                    f"cannot load HF tokenizer '{args.tokenizer}': no cached "
-                    f"copy and the hub is unreachable ({type(e).__name__}). "
-                    "Pass --vocab vocab.txt to use the self-contained C++ "
-                    "WordPiece tokenizer instead.") from e
+        wp = WordPieceTokenizer(vocab)
+        return lambda text: wp.encode(text, max_length)
+    from transformers import BertTokenizer
+    try:  # cached copy first: skips minutes of hub connect timeouts
+        tok = BertTokenizer.from_pretrained(tokenizer,
+                                            local_files_only=True)
+    except Exception:
+        try:
+            tok = BertTokenizer.from_pretrained(tokenizer)
+        except Exception as e:
+            raise SystemExit(
+                f"cannot load HF tokenizer '{tokenizer}': no cached "
+                f"copy and the hub is unreachable ({type(e).__name__}). "
+                "Pass --vocab vocab.txt to use the self-contained C++ "
+                "WordPiece tokenizer instead.") from e
 
-        def encode(text):
-            enc = tok(text, max_length=args.max_length, truncation=True,
-                      padding="max_length", add_special_tokens=False,
-                      return_tensors="np")
-            ids = enc["input_ids"].astype(np.int64)
-            am = enc["attention_mask"]
-            if ids.shape[1] == 0:
-                # transformers quirk: padding='max_length' does NOT pad a
-                # zero-token encoding — the reference saves (1, 0) arrays an
-                # (N, 256) collation then crashes on; write the padded row
-                # (matches the C++ path; tests/test_etl.py pins both)
-                ids = np.zeros((1, args.max_length), np.int64)
-                am = np.zeros((1, args.max_length), am.dtype)
-            return ids, (1 - am).astype(np.float32)
+    def encode(text):
+        enc = tok(text, max_length=max_length, truncation=True,
+                  padding="max_length", add_special_tokens=False,
+                  return_tensors="np")
+        ids = enc["input_ids"].astype(np.int64)
+        am = enc["attention_mask"]
+        if ids.shape[1] == 0:
+            # transformers quirk: padding='max_length' does NOT pad a
+            # zero-token encoding — the reference saves (1, 0) arrays an
+            # (N, 256) collation then crashes on; write the padded row
+            # (matches the C++ path; tests/test_etl.py pins both)
+            ids = np.zeros((1, max_length), np.int64)
+            am = np.zeros((1, max_length), am.dtype)
+        return ids, (1 - am).astype(np.float32)
+    return encode
+
+
+def cmd_extract_token(args):
+    os.makedirs(args.out_dir, exist_ok=True)
+    encode = _make_encoder(args.vocab, args.tokenizer, args.max_length)
     with open(args.text_file) as f:
         for line in f:
             name, _, text = line.rstrip("\n").partition("\t")
             ids, pm = encode(text)
             np.save(join(args.out_dir, name + "_token.npy"), ids)
             np.save(join(args.out_dir, name + "_pm.npy"), pm)
+
+
+def cmd_preprocess_iemo(args):
+    """One-shot IEMOCAP preprocessing (preprocess_iemo.py:14-181): per split,
+    wav -> fbank npy, caption -> BERT token/pm npys, face crops -> 256x256
+    bilinear jpgs — the same three laws the standalone subcommands apply,
+    laid out where the IEMOCAP adapter reads them (datalists.py LAYOUTS:
+    audio/{mode}_fbank, text_token/{mode}_token, visual/{mode}_imgs)."""
+    from PIL import Image
+    from mla_tpu.ops.fbank import wav2fbank
+
+    encode = _make_encoder(args.vocab, args.tokenizer, args.max_length)
+    sep = " [split|sign] "
+    for split in args.splits.split(","):
+        lst = join(args.lists_dir, f"my_{split}_iemo.txt")
+        if not os.path.exists(lst):
+            print(f"skip split '{split}': no {lst}")
+            continue
+        fb_dir = join(args.out_root, "audio", f"{split}_fbank")
+        tok_dir = join(args.out_root, "text_token", f"{split}_token")
+        img_dir = join(args.out_root, "visual", f"{split}_imgs")
+        for d in (fb_dir, tok_dir, img_dir):
+            os.makedirs(d, exist_ok=True)
+        with open(lst) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for line in lines:
+            try:
+                path, caption, _label = line.split(sep)
+            except ValueError:
+                raise SystemExit(f"malformed datalist line in {lst!r}: "
+                                 f"{line!r} (want 'path{sep}caption{sep}"
+                                 "label')")
+            name = path.replace(".mp4", "")
+            # 1. audio: wav -> Kaldi fbank (extract_fbank.py law)
+            try:
+                _, wave = _wavread(join(args.audio_dir, name + ".wav"))
+                fb = np.asarray(wav2fbank(wave,
+                                          target_length=args.target_length))
+            except Exception as e:  # extract_fbank.py:38-40 fallback
+                print(f"there is a loading error ({name}: {e})")
+                fb = np.zeros((args.target_length, 128), np.float32) + 0.01
+            np.save(join(fb_dir, name + ".npy"), fb)
+            # 2. text: caption -> token + pm npys (extract_token.py law)
+            ids, pm = encode(caption)
+            np.save(join(tok_dir, name + "_token.npy"), ids)
+            np.save(join(tok_dir, name + "_pm.npy"), pm)
+            # 3. visual: face crops -> 256x256 bilinear jpgs
+            #    (preprocess_iemo.py:136-181 process_img)
+            src = join(args.faces_dir, name)
+            if not os.path.isdir(src):
+                print(f"Fail @ {name}: no face dir {src}")
+                continue
+            dst = join(img_dir, name)
+            os.makedirs(dst, exist_ok=True)
+            for frame in sorted(os.listdir(src)):
+                if not frame.lower().endswith((".jpg", ".jpeg", ".png")):
+                    continue
+                img = Image.open(join(src, frame)).convert("RGB")
+                img.resize((256, 256), Image.BILINEAR).save(
+                    join(dst, os.path.splitext(frame)[0] + ".jpg"))
 
 
 def cmd_gen_stat(args):
@@ -245,6 +314,20 @@ def main(argv=None):
                    help="vocab.txt for the native C++ WordPiece tokenizer "
                         "(no transformers dependency)")
     s.set_defaults(fn=cmd_extract_token)
+
+    s = sub.add_parser("preprocess-iemo")
+    s.add_argument("lists_dir", help="dir holding my_{split}_iemo.txt "
+                                     "datalists (' [split|sign] ' separated)")
+    s.add_argument("audio_dir", help="source wavs (subaudio/)")
+    s.add_argument("faces_dir", help="per-clip face-crop dirs (faces/)")
+    s.add_argument("out_root", help="dataset root to write "
+                                    "audio/text_token/visual under")
+    s.add_argument("--splits", default="train,dev,test")
+    s.add_argument("--target_length", type=int, default=1024)
+    s.add_argument("--max_length", type=int, default=256)
+    s.add_argument("--tokenizer", default="bert-base-uncased")
+    s.add_argument("--vocab", default=None)
+    s.set_defaults(fn=cmd_preprocess_iemo)
 
     s = sub.add_parser("gen-stat")
     s.add_argument("lists", nargs="+"); s.add_argument("--out", required=True)

@@ -161,3 +161,83 @@ class TestTokenETL:
         pm = np.load(os.path.join(outd, "s0_pm.npy"))
         assert tok.shape == (1, 16) and pm.shape == (1, 16)
         assert pm[0, 0] == 0 and pm[0, -1] == 1
+
+
+class TestPreprocessIemo:
+    """One-shot IEMOCAP recipe (preprocess_iemo.py:14-181): per split,
+    fbank + token/pm + resized face crops land exactly where the IEMOCAP
+    adapter layout (datalists.py LAYOUTS) reads them."""
+
+    def test_one_shot_layout(self, tmp_path):
+        from PIL import Image
+        lists = tmp_path / "lists"
+        audio = tmp_path / "subaudio"
+        faces = tmp_path / "faces" / "clip0"
+        root = tmp_path / "root"
+        for d in (lists, audio, faces):
+            d.mkdir(parents=True)
+        sep = " [split|sign] "
+        (lists / "my_train_iemo.txt").write_text(
+            f"clip0.mp4{sep}hello world{sep}ang\n"
+            f"clip1.mp4{sep}the unable{sep}neu\n")   # clip1: no wav/faces
+        _write_wav(str(audio / "clip0.wav"), seconds=1.0)
+        Image.new("RGB", (40, 30), (200, 10, 10)).save(faces / "f0.jpg")
+        Image.new("RGB", (64, 64), (10, 200, 10)).save(faces / "f1.png")
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(TestWordPieceHFParity.VOCAB) + "\n")
+
+        cli.main(["preprocess-iemo", str(lists), str(audio), str(faces.parent),
+                  str(root), "--splits", "train,dev", "--target_length", "64",
+                  "--max_length", "16", "--vocab", str(vocab)])
+
+        fb = np.load(root / "audio" / "train_fbank" / "clip0.npy")
+        assert fb.shape == (64, 128) and np.isfinite(fb).all()
+        tok = np.load(root / "text_token" / "train_token" / "clip0_token.npy")
+        pm = np.load(root / "text_token" / "train_token" / "clip0_pm.npy")
+        assert tok.shape == (1, 16) and pm.shape == (1, 16)
+        assert pm[0, 0] == 0 and pm[0, -1] == 1
+        for out_name in ("f0.jpg", "f1.jpg"):   # png re-encodes to jpg
+            img = Image.open(root / "visual" / "train_imgs" / "clip0"
+                             / out_name)
+            assert img.size == (256, 256)
+        # clip1: missing wav -> extract_fbank.py:38-40 fallback artifact;
+        # missing face dir -> skipped with a message, no dir created
+        fb1 = np.load(root / "audio" / "train_fbank" / "clip1.npy")
+        assert fb1.shape == (64, 128) and np.allclose(fb1, 0.01)
+        assert not (root / "visual" / "train_imgs" / "clip1").exists()
+        # dev split: no datalist -> skipped cleanly
+        assert not (root / "audio" / "dev_fbank" / "clip0.npy").exists()
+
+    def test_matches_standalone_subcommands(self, tmp_path):
+        """Composition law: preprocess-iemo's fbank == extract-fbank's,
+        tokens == extract-token's — one set of transform laws."""
+        lists = tmp_path / "lists"
+        audio = tmp_path / "subaudio"
+        root = tmp_path / "root"
+        lists.mkdir(); audio.mkdir()
+        sep = " [split|sign] "
+        (lists / "my_test_iemo.txt").write_text(
+            f"c.mp4{sep}hello world{sep}hap\n")
+        _write_wav(str(audio / "c.wav"), seconds=1.0, seed=3)
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(TestWordPieceHFParity.VOCAB) + "\n")
+        cli.main(["preprocess-iemo", str(lists), str(audio),
+                  str(tmp_path / "nofaces"), str(root), "--splits", "test",
+                  "--target_length", "32", "--max_length", "8",
+                  "--vocab", str(vocab)])
+        # standalone equivalents
+        cli.main(["extract-fbank", str(audio), str(tmp_path / "fb"),
+                  "--target_length", "32"])
+        tsv = tmp_path / "texts.tsv"
+        tsv.write_text("c\thello world\n")
+        cli.main(["extract-token", str(tsv), str(tmp_path / "tok"),
+                  "--max_length", "8", "--vocab", str(vocab)])
+        np.testing.assert_array_equal(
+            np.load(root / "audio" / "test_fbank" / "c.npy"),
+            np.load(tmp_path / "fb" / "c.npy"))
+        np.testing.assert_array_equal(
+            np.load(root / "text_token" / "test_token" / "c_token.npy"),
+            np.load(tmp_path / "tok" / "c_token.npy"))
+        np.testing.assert_array_equal(
+            np.load(root / "text_token" / "test_token" / "c_pm.npy"),
+            np.load(tmp_path / "tok" / "c_pm.npy"))
