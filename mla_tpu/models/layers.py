@@ -11,6 +11,7 @@ Both use the same fused attention core (mla_tpu/ops/attention.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -33,6 +34,39 @@ kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # quantizes activations per-row so the MXU runs s8 x s8 at the chip's int8
 # rate (W8A8 — ops/q8_matmul.py a8).
 q8_a8_enabled = False
+
+# Per-site W8A8 opt-out (the export-time outlier guard,
+# runtime/export.py:calibrate_a8): QDense sites whose "/".join(path) is in
+# this set keep the weight-only dequant-fused GEMM even under
+# q8_a8_enabled. Per-row symmetric activation quantization breaks exactly
+# where activations carry outlier channels (one huge element coarsens the
+# step for the whole row), so the guard measures each site on a calibration
+# batch and bakes the fallback into the traced artifact.
+q8_a8_skip = frozenset()
+
+# Calibration hook: when not None, every a8-eligible QDense site reports
+# (site_path, per-row max relative L2 error of A8 quantization) through a
+# jax.debug.callback — fires per scan iteration under nn.scan, so a stacked
+# site reports every layer and the recorder keeps the max.
+q8_a8_report = None
+
+
+def _a8_report_cb(site, rel):
+    hook = q8_a8_report
+    if hook is not None:
+        hook(site, float(rel))
+
+
+def _report_a8_relerr(site, inputs):
+    """Calibration probe: the relative L2 error A8 row quantization would
+    introduce at this site, reduced over rows to the worst case."""
+    from mla_tpu.ops.q8_matmul import quantize_rows
+    x2 = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
+    xq, xs = quantize_rows(x2)
+    err = jnp.linalg.norm(xq.astype(jnp.float32) * xs[:, None] - x2,
+                          axis=-1)
+    rel = jnp.max(err / jnp.maximum(jnp.linalg.norm(x2, axis=-1), 1e-9))
+    jax.debug.callback(functools.partial(_a8_report_cb, site), rel)
 
 # Trace-time layer id for the stacked int8 serving path: when an int8
 # scan-blocks artifact applies (models/m3ae.py:_q8_stacked_scan), QDense
@@ -81,7 +115,11 @@ class QDense(nn.Dense):
                 y = q8_matmul_stacked(inputs, kernel, scale,
                                       q8_stacked_layer)
             else:
-                y = q8_matmul(inputs, kernel, scale, a8=q8_a8_enabled)
+                site = "/".join(self.path)
+                a8 = q8_a8_enabled and site not in q8_a8_skip
+                if a8 and q8_a8_report is not None:
+                    _report_a8_relerr(site, inputs)
+                y = q8_matmul(inputs, kernel, scale, a8=a8)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y.astype(self.dtype) if self.dtype is not None else y

@@ -58,7 +58,7 @@ def feature_keys(model) -> Tuple[str, ...]:
 
 
 def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False,
-                    a8: bool = False):
+                    a8: bool = False, a8_skip=frozenset()):
     """(params, batch_stats, features) -> {'fused', 'logits_<m>'...}.
 
     `features` must contain the model's feature_keys plus 'valid' (float32
@@ -70,9 +70,12 @@ def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False,
     the gather-then-dequantize embedding path) so int8 is what streams from
     HBM, and dequantizes the remainder (convs, heads) in-graph as before.
     a8=True (weights_dtype 'int8_a8') additionally quantizes activations
-    per-row at each QDense site so the MXU runs s8 x s8 (W8A8).
+    per-row at each QDense site so the MXU runs s8 x s8 (W8A8). a8_skip:
+    QDense site paths that keep the weight-only GEMM — the calibrate_a8
+    outlier guard's verdict, baked into the traced graph.
     """
     modalities = modalities_of(cfg)
+    a8_skip = frozenset(a8_skip)
 
     def serve(params, batch_stats, features):
         from mla_tpu.models import layers as _layers
@@ -81,12 +84,15 @@ def make_serving_fn(model, cfg: MLAConfig, dequant: bool = False,
             params, q8 = split_q8(params)
         valid = features["valid"]
         prev = _layers.q8_a8_enabled
+        prev_skip = _layers.q8_a8_skip
         _layers.q8_a8_enabled = a8          # trace-time switch
+        _layers.q8_a8_skip = a8_skip
         try:
             out_m, fused = eval_logits(model, cfg, params, batch_stats,
                                        features, valid, q8=q8)
         finally:
             _layers.q8_a8_enabled = prev
+            _layers.q8_a8_skip = prev_skip
         result = {"fused": fused.astype(jnp.float32)}
         for m in modalities:
             result[f"logits_{m}"] = out_m[m].astype(jnp.float32)
@@ -259,6 +265,52 @@ def split_q8(params):
     return p, (scales or {})
 
 
+# Per-row symmetric activation quantization (W8A8) breaks exactly where an
+# activation row carries outlier channels: one huge element sets the row's
+# scale and coarsens the step for every other channel. Default bound: a
+# site whose worst calibration row loses >5% relative L2 to A8 rounding
+# falls back to the weight-only dequant-fused GEMM (still int8 weight
+# reads — the latency lever — just bf16 activations into the MXU).
+A8_REL_THRESHOLD = 0.05
+
+
+def calibrate_a8(model, cfg: MLAConfig, params, batch_stats, features,
+                 threshold: Optional[float] = None):
+    """W8A8 outlier guard: measure per-site A8 activation error, pick skips.
+
+    Runs ONE forward of the int8_a8 serving graph on the calibration
+    ``features`` with the models/layers.py report hook armed: every
+    a8-eligible QDense site reports the worst-row relative L2 error its
+    per-row activation quantization would introduce (under nn.scan the site
+    reports once per layer; the recorder keeps the max). Returns
+    ``(site_errs, skip)`` where ``skip`` is the frozenset of site paths
+    whose error exceeds ``threshold`` — pass it to make_serving_fn so the
+    fallback is baked into the traced artifact.
+
+    ``params`` must already be the int8 {'q8','scale'} tree
+    (_quantize_int8 output), so the guard sees the exact artifact weights.
+    """
+    from mla_tpu.models import layers as _layers
+
+    if threshold is None:
+        threshold = A8_REL_THRESHOLD
+    errs: Dict[str, float] = {}
+
+    def record(site, rel):
+        errs[site] = max(rel, errs.get(site, 0.0))
+
+    serve = make_serving_fn(model, cfg, dequant=True, a8=True)
+    prev = _layers.q8_a8_report
+    _layers.q8_a8_report = record
+    try:
+        out = serve(params, batch_stats, features)
+        jax.block_until_ready(out)   # flush the debug callbacks
+    finally:
+        _layers.q8_a8_report = prev
+    skip = frozenset(s for s, e in errs.items() if e > threshold)
+    return errs, skip
+
+
 def export_serving(cfg: MLAConfig, model, state, example_batch,
                    out_dir: str, batch_sizes: Sequence[int] = (1, 8, 64),
                    platforms: Optional[Sequence[str]] = None,
@@ -280,13 +332,24 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
             f"batch_sizes must be positive ints, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
     keys = feature_keys(model)
-    serve = make_serving_fn(
-        model, cfg, dequant=weights_dtype in ("int8", "int8_a8"),
-        a8=weights_dtype == "int8_a8")
     params = _cast_weights(host_fetch(state.params), weights_dtype)
     batch_stats = host_fetch(state.batch_stats) if state.batch_stats \
         else {}
     example = {k: np.asarray(example_batch[k]) for k in keys}
+    a8_errs, a8_skip = {}, frozenset()
+    if weights_dtype == "int8_a8":
+        # Outlier guard: the example batch doubles as the calibration batch
+        # (the driver passes a real loader batch). Sites whose worst row
+        # loses >A8_REL_THRESHOLD relative L2 to activation quantization
+        # keep the weight-only GEMM in the traced artifact.
+        cal = dict(example)
+        v = example_batch.get("valid")
+        cal["valid"] = np.asarray(v, np.float32) if v is not None else \
+            np.ones((len(next(iter(example.values()))),), np.float32)
+        a8_errs, a8_skip = calibrate_a8(model, cfg, params, batch_stats, cal)
+    serve = make_serving_fn(
+        model, cfg, dequant=weights_dtype in ("int8", "int8_a8"),
+        a8=weights_dtype == "int8_a8", a8_skip=a8_skip)
     write = jax.process_index() == 0
 
     p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
@@ -324,6 +387,9 @@ def export_serving(cfg: MLAConfig, model, state, example_batch,
         "n_classes": cfg.n_classes,
         "batch_sizes": batch_sizes,
         "weights_dtype": weights_dtype,
+        "a8_skip": sorted(a8_skip),
+        "a8_site_rel_err": {k: round(v, 6)
+                            for k, v in sorted(a8_errs.items())},
         "platforms": list(exported_platforms),
         "feature_specs": {
             k: {"shape": list(example[k].shape[1:]),

@@ -413,6 +413,80 @@ class TestExportInt8:
         assert (np.argmax(got["fused"], -1)
                 == np.argmax(np.asarray(fused), -1)).all()
 
+    def test_a8_outlier_guard_calibration(self, tmp_path):
+        """calibrate_a8 (the W8A8 outlier guard): every a8-eligible QDense
+        site reports its worst-row activation-quantization error through
+        the layers.q8_a8_report hook; threshold=0 skips every site,
+        threshold=inf skips none, and a fully-skipped a8 graph computes
+        the weight-only graph's numbers."""
+        from mla_tpu.models import layers as mlayers
+        from mla_tpu.runtime.export import (_quantize_int8, calibrate_a8,
+                                            host_fetch, make_serving_fn)
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        params = _quantize_int8(host_fetch(state.params))
+        feats = {k: np.asarray(batch[k]) for k in feature_keys(model)}
+        feats["valid"] = np.ones(2, np.float32)
+        errs, skip_all = calibrate_a8(model, cfg, params, {}, feats,
+                                      threshold=0.0)
+        assert errs, "no QDense site reported a calibration error"
+        assert all(v > 0.0 for v in errs.values())
+        names = {s.rsplit("/", 1)[-1] for s in errs}
+        assert {"qkv", "proj", "fc1", "fc2"} <= names, names
+        assert skip_all == frozenset(errs)
+        _, skip_none = calibrate_a8(model, cfg, params, {}, feats,
+                                    threshold=float("inf"))
+        assert skip_none == frozenset()
+        assert mlayers.q8_a8_report is None     # hook restored
+        assert mlayers.q8_a8_skip == frozenset()  # trace globals restored
+
+        # all sites skipped: the a8 graph IS the weight-only graph
+        serve_skip = make_serving_fn(model, cfg, dequant=True, a8=True,
+                                     a8_skip=skip_all)
+        serve_w8 = make_serving_fn(model, cfg, dequant=True)
+        jf = {k: jnp.asarray(v) for k, v in feats.items()}
+        a = serve_skip(params, {}, jf)
+        b = serve_w8(params, {}, jf)
+        for k in a:
+            # stacked (weight-only) vs sliced (a8 keeps nn.scan) weight
+            # reads reassociate the same math — 1e-5 band, not bitwise
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=0, atol=1e-5)
+
+    @pytest.mark.mid
+    def test_a8_guard_bakes_into_artifact(self, tmp_path, monkeypatch):
+        """export_serving(int8_a8) runs the guard on the example batch and
+        bakes the verdict into the traced artifact: with a threshold-0
+        guard (every site an outlier) the exported graph is the weight-only
+        one, meta records a8_skip + per-site errors, and logits match the
+        plain int8 artifact."""
+        from mla_tpu.runtime import export as export_mod
+        root = str(tmp_path / "m3")
+        synthetic.make_m3ae(root, dataset="Food101", n_train=4, n_test=2)
+        cfg = MLAConfig(dataset="Food101", lorb="m3ae", gs_flag=True,
+                        m3ae_size="debug", scan_blocks=True, image_size=32,
+                        batch_size=2, data_root=root).validate()
+        model, state, batch = _state_and_batch(cfg)
+        out8, outg = str(tmp_path / "w8"), str(tmp_path / "a8guard")
+        export_serving(cfg, model, state, batch, out8, batch_sizes=(2,),
+                       weights_dtype="int8")
+        monkeypatch.setattr(export_mod, "A8_REL_THRESHOLD", 0.0)
+        export_serving(cfg, model, state, batch, outg, batch_sizes=(2,),
+                       weights_dtype="int8_a8")
+        srv8, srvg = load_serving(out8), load_serving(outg)
+        assert srvg.meta["a8_skip"], "guard skipped nothing at threshold 0"
+        assert set(srvg.meta["a8_skip"]) == set(srvg.meta["a8_site_rel_err"])
+        assert all(v > 0 for v in srvg.meta["a8_site_rel_err"].values())
+        assert srv8.meta["a8_skip"] == []       # int8 artifact: no guard
+        feats = {k: np.asarray(batch[k]) for k in srv8.feature_names}
+        a, b = srv8(feats), srvg(feats)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=1e-4)
+
 
 class TestExportCLIP:
     def test_clip_fusion_module_path(self, tmp_path):
