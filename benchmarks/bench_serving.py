@@ -9,9 +9,11 @@ checks numerics vs the live jitted graph, and times each rung.
 Timing protocol matches bench_suite.bench_eval (10 dispatches, one trailing
 host read) for comparability with the dynamic-eval row.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8|int8_a8] [rungs=1,16]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bench_serving.py [m3ae|av|modal3|large|huge] [bf16|int8|int8_sliced|int8_a8] [rungs=1,16]
 (large/huge: scan-blocks M3AE at that size, default ladder (1, 16);
  bf16/int8: --export_dtype weight precision of the artifact;
+ int8_sliced: int8 weights but with the stacked scalar-prefetch path forced
+ off — measures the round-4 per-layer nn.scan slicing for the A/B ladder;
  rungs=...: override the batch ladder, e.g. rungs=1 to bench one rung
  within the relay's slow-compile window)
 """
@@ -101,12 +103,19 @@ def main():
         wdtype = "int8"
     if "int8_a8" in argv:
         wdtype = "int8_a8"
+    if "int8_sliced" in argv:
+        # same int8 artifact bytes, old weight-read law: per-layer nn.scan
+        # slicing (HBM->HBM materialization before each Pallas GEMM)
+        wdtype = "int8"
+        from mla_tpu.models.m3ae import M3AEEncoder
+        M3AEEncoder._blocks_q8_stacked = lambda self: False
     rung_override = None
     for a in list(argv):
         if a.startswith("rungs="):
             rung_override = tuple(int(x) for x in a[6:].split(","))
             argv.remove(a)
-    argv = [a for a in argv if a not in ("bf16", "int8", "int8_a8")]
+    argv = [a for a in argv
+            if a not in ("bf16", "int8", "int8_a8", "int8_sliced")]
     unknown = [a for a in argv[1:]]
     if unknown:
         raise SystemExit(f"unknown extra args {unknown}")
