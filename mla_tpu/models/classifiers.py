@@ -393,9 +393,11 @@ def resolve_pallas_conv(cfg: MLAConfig) -> bool:
     engaged. XLA's implicit-GEMM conv already tiles these shapes onto the MXU
     with better input reuse than the width-window formulation's halo reloads.
     The kernel stays available as a measured experiment via 'on' (the op
-    still falls back off-TPU or on ineligible shapes — ops/conv3x3.py;
-    under multi-chip GSPMD a bare pallas_call is opaque to the partitioner,
-    so 'on' is a single-chip experiment switch)."""
+    still falls back off-TPU or on ineligible shapes — ops/conv3x3.py).
+    Multi-chip is legal: under a device mesh the op routes through
+    conv3x3_sp (custom_partitioning, batch-sharded per device — the
+    ops/attention.py pattern), certified by the dryrun_dp_conv leg and
+    tests/test_conv3x3.py TestMeshPartitioning."""
     return cfg.pallas_conv == "on"
 
 

@@ -32,10 +32,12 @@ Dtype = Any
 class PallasConv3x3(nn.Module):
     """Drop-in for the stride-1 3x3 nn.Conv sites: identical param tree
     ({name}/kernel, (3,3,C,F) HWIO, kaiming fan_out) but the forward/dx run
-    the width-window Pallas kernel (ops/conv3x3.py) on TPU — measured past
-    XLA's ~70 TF/s conv envelope on the body shape class (BASELINE.md r4).
-    Off-TPU (CPU test tier, virtual meshes) it lowers to the same lax.conv
-    as nn.Conv."""
+    the width-window Pallas kernel (ops/conv3x3.py) on TPU. The round-5
+    on-chip envelope measured XLA AHEAD on every body shape (BASELINE.md
+    round-5), so this engages only under --pallas_conv on (experiment
+    switch; multi-chip legal via conv3x3_sp custom_partitioning). Off-TPU
+    (CPU test tier, virtual meshes) it lowers to the same lax.conv as
+    nn.Conv."""
     features: int
     dtype: Dtype = jnp.float32
 

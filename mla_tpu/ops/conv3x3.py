@@ -42,11 +42,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 # One grid step's VMEM working set budget (double-buffered x row-block +
 # packed weights + out block + fp32 accumulator); v5e has ~16 MB.
 _VMEM_BUDGET = 10 * 2 ** 20
+
+# Test/dryrun hook: force interpret-mode Pallas on non-TPU backends so CPU
+# meshes can exercise the kernel AND its custom_partitioning rule through
+# the model path (PallasConv3x3 doesn't thread an interpret flag).
+_FORCE_INTERPRET = False
+
+
+def set_interpret(enable: bool):
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(enable)
 
 
 def conv3x3_reference(x, kernel, *, compute_dtype=None):
@@ -167,6 +179,74 @@ def _eligible(x, kernel):
     return 2 if c == 64 else 1
 
 
+def _conv_local(x, kernel, interpret, compute_dtype, flatten=True,
+                bt=None):
+    """The single-shard Pallas path: block chooser + width-window kernel.
+    Callers guarantee eligibility (shape class + TPU/interpret)."""
+    pack = _eligible(x, kernel)
+    if bt is None:
+        w = x.shape[2]
+        pad_r = pack * -(-w // pack) - w + 1
+        bt = _choose_bt(x.shape[0], x.shape[1], w + 1 + pad_r,
+                        x.shape[3], pack, kernel.shape[-1], compute_dtype)
+    return _conv3x3_pallas(x, kernel, pack, bt, flatten, interpret,
+                           compute_dtype)
+
+
+# -- multi-chip legality (custom_partitioning, the ops/attention.py pattern) --
+# A bare pallas_call is opaque to GSPMD: under a device mesh the partitioner
+# would replicate/gather the operands around it. The conv is embarrassingly
+# parallel over batch (stride-1 SAME is per-image independent), so teach the
+# partitioner exactly that: each shard runs the same kernel on its local
+# batch block; H/W/C stay kernel-local (the width-window needs whole rows)
+# and the weight is replicated. dx in the custom VJP is the same conv on the
+# rotated kernel, so the backward inherits the rule for free; dw is XLA's
+# conv-grad, which GSPMD already knows how to shard.
+
+def _batch_only(sharding):
+    """Sharding with only the batch axis kept (H/W/C kernel-local)."""
+    if not isinstance(sharding, NamedSharding):
+        raise TypeError(
+            "conv3x3 custom_partitioning expected a NamedSharding, got "
+            f"{type(sharding).__name__}; wrap the call site in a "
+            "Mesh/NamedSharding context (or replicate the operands)")
+    b = sharding.spec[0] if len(sharding.spec) else None
+    return NamedSharding(sharding.mesh, PartitionSpec(b))
+
+
+def _conv_sp_infer(*args):
+    arg_shapes = args[-2]
+    return _batch_only(arg_shapes[0].sharding)
+
+
+# Diagnostic: how many times the partitioner invoked the conv's partition
+# rule (i.e. the kernel was actually partitioned, not replicated around) —
+# dryrun/test proof that DP keeps the conv Pallas-per-shard.
+sp_partition_calls = 0
+
+
+def _conv_sp_partition(interpret, compute_dtype, mesh, arg_shapes,
+                       result_shape):
+    global sp_partition_calls
+    sp_partition_calls += 1
+
+    def lower(x, kernel):
+        return _conv_local(x, kernel, interpret, compute_dtype)
+    return (mesh, lower, _batch_only(result_shape.sharding),
+            (_batch_only(arg_shapes[0].sharding),
+             NamedSharding(arg_shapes[1].sharding.mesh, PartitionSpec())))
+
+
+conv3x3_sp = custom_partitioning(
+    lambda x, kernel, interpret=False, compute_dtype=jnp.bfloat16:
+        _conv_local(x, kernel, interpret, compute_dtype),
+    static_argnums=(2, 3))
+conv3x3_sp.def_partition(
+    partition=_conv_sp_partition,
+    infer_sharding_from_operands=_conv_sp_infer,
+    sharding_rule="b h w c, u v c f -> b h w f")
+
+
 def conv3x3(x, kernel, *, flatten: bool = True, interpret: bool = False,
             compute_dtype=jnp.bfloat16, bt: int | None = None):
     """3x3 stride-1 SAME conv, NHWC x (3,3,C,F) HWIO -> NHWC.
@@ -175,19 +255,19 @@ def conv3x3(x, kernel, *, flatten: bool = True, interpret: bool = False,
     (C == F in {64,128,256,512}); lax.conv otherwise. compute_dtype=bf16
     matches XLA's TPU DEFAULT conv precision; fp32 is exact (CPU tests).
     flatten selects the (Bt*H, K) single-dot variant over per-image dots.
-    Forward only — training routes through conv3x3_vjp.
+    Under a multi-device runtime the call routes through conv3x3_sp so
+    GSPMD batch-shards it instead of treating the pallas_call as opaque
+    (bt/flatten overrides are single-device bench knobs and pin the local
+    path). Forward only — training routes through conv3x3_vjp.
     """
+    interpret = interpret or _FORCE_INTERPRET
     pack = _eligible(x, kernel)
     on_tpu = jax.default_backend() == "tpu" or interpret
     if pack is None or not on_tpu:
         return conv3x3_reference(x, kernel)
-    if bt is None:
-        w = x.shape[2]
-        pad_r = pack * -(-w // pack) - w + 1
-        bt = _choose_bt(x.shape[0], x.shape[1], w + 1 + pad_r,
-                        x.shape[3], pack, kernel.shape[-1], compute_dtype)
-    return _conv3x3_pallas(x, kernel, pack, bt, flatten, interpret,
-                           compute_dtype)
+    if jax.device_count() > 1 and bt is None and flatten:
+        return conv3x3_sp(x, kernel, interpret, compute_dtype)
+    return _conv_local(x, kernel, interpret, compute_dtype, flatten, bt)
 
 
 def _rot180_swap(kernel):

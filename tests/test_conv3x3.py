@@ -147,3 +147,55 @@ class TestScope:
         assert not resolve_pallas_conv(cfg)
         with pytest.raises(ValueError):
             MLAConfig(dataset="CREMAD", pallas_conv="maybe").validate()
+
+
+class TestMeshPartitioning:
+    """Multi-chip legality (VERDICT r4 #5): under a device mesh the Pallas
+    conv routes through conv3x3_sp (custom_partitioning, the
+    ops/attention.py pattern) so GSPMD batch-shards it — each device runs
+    the kernel on its local batch block, weights replicated — instead of
+    treating the pallas_call as opaque and gathering around it."""
+
+    def _mesh_vals(self, b=8, h=9, w=10, c=64):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mla_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(mesh_shape=(8, 1))
+        x, k = _case(b, h, w, c)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ks = jax.device_put(k, NamedSharding(mesh, P()))
+        return mesh, x, k, xs, ks
+
+    def test_forward_sharded_equals_single(self):
+        mesh, x, k, xs, ks = self._mesh_vals()
+        f = jax.jit(lambda a, b: conv3x3(a, b, interpret=True,
+                                         compute_dtype=jnp.float32))
+        got = f(xs, ks)
+        # output keeps the batch sharding (no involuntary resharding)
+        assert "data" in str(got.sharding.spec)
+        ref = conv3x3_reference(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_vjp_sharded_equals_single(self):
+        from mla_tpu.ops.conv3x3 import conv3x3_vjp
+        mesh, x, k, xs, ks = self._mesh_vals()
+
+        def loss(a, b):
+            return jnp.sum(conv3x3_vjp(a, b, True, jnp.float32) ** 2)
+
+        gx, gk = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, ks)
+        rx, rk = jax.grad(
+            lambda a, b: jnp.sum(conv3x3_reference(a, b) ** 2),
+            argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_no_gather_in_compiled_hlo(self):
+        # the partitioner must not all-gather the batch around the kernel
+        mesh, x, k, xs, ks = self._mesh_vals()
+        f = jax.jit(lambda a, b: conv3x3(a, b, interpret=True,
+                                         compute_dtype=jnp.float32))
+        txt = f.lower(xs, ks).compile().as_text()
+        assert "all-gather" not in txt, "GSPMD gathered the conv batch"
