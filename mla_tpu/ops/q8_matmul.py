@@ -91,6 +91,18 @@ def _divisors_desc(dim: int, cap: int, mult: int = 128):
 # Mosaic's own scratch.
 _VMEM_BUDGET = 10 * 2 ** 20
 
+# Row-count crossover (in units of block_m row blocks) between the Pallas
+# int8 GEMM and the dequantize-then-XLA-dot alternative. The Pallas path
+# re-reads the weight once per row block (ceil(rows/block_m) bytes/weight);
+# XLA's materialized dequant pays a flat ~5 bytes/weight (s8 read + bf16
+# write + bf16 read — BASELINE.md int8 analysis). Measured anchors (huge
+# serving artifact, v5e): rows<=512 (b=1, one pass) Pallas wins 11.75->9.99
+# ms vs dequant's 15.8; rows=4112 (b=16, 9 passes) Pallas loses 116.2-116.5
+# vs the dequant graph's ~104. Four passes keeps the Pallas path strictly
+# under the dequant traffic; beyond it the GEMM routes to the reference
+# (static per traced batch rung — serving graphs pick per-rung).
+_ROWS_CROSSOVER_BLOCKS = 4
+
 
 def _choose_blocks(rows: int, k: int, n: int, cap_m: int, cap_k: int,
                    cap_n: int, row_mult: int = 16):
@@ -265,8 +277,9 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
     layer = jnp.clip(jnp.asarray(layer, jnp.int32), 0, ldim - 1)
     scale3 = scale.reshape(ldim, 1, n)
     on_tpu = jax.default_backend() == "tpu" or interpret
+    pallas_ok = on_tpu and x2.shape[0] <= _ROWS_CROSSOVER_BLOCKS * block_m
     blocks = _choose_blocks(x2.shape[0], kdim, n, block_m, block_k,
-                            block_n) if on_tpu else None
+                            block_n) if pallas_ok else None
     if blocks is None:
         out = q8_matmul_reference(
             x2, jax.lax.dynamic_index_in_dim(q8, layer, 0, keepdims=False),
@@ -305,9 +318,13 @@ def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
         raise ValueError(f"scale {scale.shape} is not per-output-channel "
                          f"for w{q8.shape}")
     on_tpu = jax.default_backend() == "tpu" or interpret
+    # a8 keeps the Pallas path at every row count: its fallback would give
+    # up the int8 MXU rate, not just the weight-read law
+    pallas_ok = on_tpu and (
+        a8 or x2.shape[0] <= _ROWS_CROSSOVER_BLOCKS * block_m)
     blocks = _choose_blocks(x2.shape[0], q8.shape[0], q8.shape[1],
                             block_m, block_k, block_n,
-                            row_mult=32 if a8 else 16) if on_tpu else None
+                            row_mult=32 if a8 else 16) if pallas_ok else None
     if blocks is None:
         out = (q8_matmul_a8_reference if a8 else q8_matmul_reference)(
             x2, q8, scale)

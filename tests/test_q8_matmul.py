@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from mla_tpu.ops.q8_matmul import (q8_matmul, q8_matmul_reference,
+                                   q8_matmul_stacked,
                                    _choose_blocks, _divisors_desc)
 
 
@@ -93,6 +94,53 @@ class TestQ8Matmul:
         x, q8, scale, _ = _case(2, 100, 128)
         got = q8_matmul(x, q8, scale, interpret=True)
         ref = q8_matmul_reference(x, q8, scale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_big_m_routes_to_dequant_dot(self, monkeypatch):
+        """rows > 4 x block_m: the Pallas path would re-read the weight
+        once per row block (> the dequant graph's flat ~5 bytes/weight —
+        measured losing at the huge b=16 rung, BASELINE.md round-5), so
+        the GEMM routes to the reference. a8 stays Pallas at every row
+        count (its fallback loses the int8 MXU rate, not just a read law).
+        Both asserted structurally via a poisoned kernel entry."""
+        import mla_tpu.ops.q8_matmul as q8mod
+        x, q8, scale, _ = _case(160, 256, 128, seed=6)
+
+        def boom(*a, **k):
+            raise AssertionError("Pallas path taken for big-M non-a8 GEMM")
+
+        monkeypatch.setattr(q8mod, "_q8_matmul_pallas", boom)
+        got = q8_matmul(x, q8, scale, block_m=32, interpret=True)
+        ref = q8_matmul_reference(x, q8, scale)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        monkeypatch.undo()
+        # a8 at the same rows: Pallas path still engages
+        called = {}
+        orig = q8mod._q8_matmul_pallas
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(q8mod, "_q8_matmul_pallas", spy)
+        q8_matmul(x, q8, scale, block_m=32, interpret=True, a8=True)
+        assert called.get("yes"), "a8 big-M GEMM left the Pallas path"
+
+    def test_stacked_big_m_routes_to_dequant_dot(self, monkeypatch):
+        """Same crossover law for the stacked kernel: big-M rungs slice the
+        layer and run the dequant dot instead of the scalar-prefetch read."""
+        import mla_tpu.ops.q8_matmul as q8mod
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(160, 256)), jnp.float32)
+        q8 = jnp.asarray(rng.integers(-127, 128, (3, 256, 128)), jnp.int8)
+        scale = jnp.asarray(rng.uniform(1e-3, 2e-2, (3, 128)), jnp.float32)
+
+        def boom(*a, **k):
+            raise AssertionError("Pallas path taken for big-M stacked GEMM")
+
+        monkeypatch.setattr(q8mod, "_q8_stacked_pallas", boom)
+        got = q8_matmul_stacked(x, q8, scale, 1, block_m=32, interpret=True)
+        ref = q8_matmul_reference(x, q8[1], scale[1].reshape(1, -1))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_block_chooser(self):
