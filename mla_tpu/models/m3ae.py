@@ -216,7 +216,7 @@ class M3AEEncoder(nn.Module):
         nn.scan's variable_axes={'params': 0} slices every leaf per layer
         inside the scan body, and a Pallas custom call can only consume that
         slice after an HBM->HBM materialization (~+1 byte/weight of traffic;
-        BASELINE.md round-4 int8 analysis). Here only the small float leaves
+        BASELINE.md "Round-4/5" int8 ladder). Here only the small float leaves
         (LN scales, biases) are sliced; the (L, K, N) int8 kernels stay whole
         and QDense reads the current layer's tiles in place via Pallas scalar
         prefetch (ops/q8_matmul.py:q8_matmul_stacked), keyed by the

@@ -19,8 +19,8 @@ Block choice is step-count-first: at serving row counts the per-grid-step
 dispatch overhead (~1 us) dominates long before HBM does, so the chooser
 takes the FEWEST grid steps whose blocks fit a VMEM budget — typically the
 whole K dimension and 1-3 MB weight tiles (measured on v5e: 256x256 blocks
-ran 32-layer huge qkv at 64 GB/s of weight traffic; see BASELINE.md round-4
-for the retuned numbers).
+ran 32-layer huge qkv at 64 GB/s of weight traffic; see the BASELINE.md
+"Round-4/5" int8 ladder for the measured numbers).
 
 Numerics: the export-time law is per-output-channel, so the scale commutes
 through the contraction exactly — (x @ (W*s))[b,n] == (x @ W)[b,n] * s[n].
@@ -132,7 +132,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc):
 
     # feed the s8 operand to the MXU directly (Mosaic lowers the mixed
     # bf16 x s8 dot natively) — the explicit VPU convert-to-bf16 cost ~13%
-    # end-to-end on the huge b=1 artifact (BASELINE.md round-4)
+    # end-to-end on the huge b=1 artifact (BASELINE.md "Round-4/5" int8 section)
     acc[...] += jax.lax.dot_general(
         x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -261,7 +261,7 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
     layer's tiles in place — no HBM->HBM materialization of the per-layer
     slice, which is what a lax.scan body pays when it feeds a sliced
     operand to a Pallas custom call (~+1 byte/weight of HBM traffic; see
-    BASELINE.md round-4 int8 analysis). This is the weight-read law the
+    BASELINE.md "Round-4/5" int8 ladder). This is the weight-read law the
     int8 scan-blocks serving graph routes through (models/m3ae.py).
 
     scale: (L, N) or (L, 1, N) per-(layer, output-channel). Fallback: jnp
