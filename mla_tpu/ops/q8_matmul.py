@@ -91,6 +91,18 @@ def _divisors_desc(dim: int, cap: int, mult: int = 128):
 # Mosaic's own scratch.
 _VMEM_BUDGET = 10 * 2 ** 20
 
+# Trace-time switch (runtime/export.py calibrate_a8): force the jnp
+# reference paths so the serving graph can execute on the CPU backend —
+# the A8 calibration forward runs there because the axon TPU relay does
+# not support the jax.debug.callback the error probe rides on.
+_REFERENCE_ONLY = False
+
+
+def set_reference_only(enabled: bool):
+    global _REFERENCE_ONLY
+    _REFERENCE_ONLY = bool(enabled)
+
+
 # Row-count crossover (in units of block_m row blocks) between the Pallas
 # int8 GEMM and the dequantize-then-XLA-dot alternative. The Pallas path
 # re-reads the weight once per row block (ceil(rows/block_m) bytes/weight);
@@ -276,7 +288,8 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
     # pass a raw OOB id into the DMA while the jnp fallback clamps
     layer = jnp.clip(jnp.asarray(layer, jnp.int32), 0, ldim - 1)
     scale3 = scale.reshape(ldim, 1, n)
-    on_tpu = jax.default_backend() == "tpu" or interpret
+    on_tpu = (jax.default_backend() == "tpu" or interpret) \
+        and not _REFERENCE_ONLY
     pallas_ok = on_tpu and x2.shape[0] <= _ROWS_CROSSOVER_BLOCKS * block_m
     blocks = _choose_blocks(x2.shape[0], kdim, n, block_m, block_k,
                             block_n) if pallas_ok else None
@@ -317,7 +330,8 @@ def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
     if scale.shape[1] != q8.shape[1]:
         raise ValueError(f"scale {scale.shape} is not per-output-channel "
                          f"for w{q8.shape}")
-    on_tpu = jax.default_backend() == "tpu" or interpret
+    on_tpu = (jax.default_backend() == "tpu" or interpret) \
+        and not _REFERENCE_ONLY
     # a8 keeps the Pallas path at every row count: its fallback would give
     # up the int8 MXU rate, not just the weight-read law
     pallas_ok = on_tpu and (

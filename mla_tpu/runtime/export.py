@@ -289,8 +289,18 @@ def calibrate_a8(model, cfg: MLAConfig, params, batch_stats, features,
 
     ``params`` must already be the int8 {'q8','scale'} tree
     (_quantize_int8 output), so the guard sees the exact artifact weights.
+
+    The forward runs on the CPU backend with the jnp reference kernels
+    (q8_matmul.set_reference_only + attention.set_reference_attention):
+    the error probe rides jax.debug.callback, which the axon TPU relay
+    does not support, and per-row quantization error is
+    backend-independent — only the activation VALUES matter. Features are
+    sliced to at most 4 batch rows (~1k token rows through each site on
+    the big configs) to bound the host-side cost.
     """
     from mla_tpu.models import layers as _layers
+    from mla_tpu.ops import attention as _attn
+    from mla_tpu.ops import q8_matmul as _q8
 
     if threshold is None:
         threshold = A8_REL_THRESHOLD
@@ -299,14 +309,25 @@ def calibrate_a8(model, cfg: MLAConfig, params, batch_stats, features,
     def record(site, rel):
         errs[site] = max(rel, errs.get(site, 0.0))
 
+    rows = min(4, len(next(iter(features.values()))))
+    features = {k: np.asarray(v)[:rows] for k, v in features.items()}
     serve = make_serving_fn(model, cfg, dequant=True, a8=True)
     prev = _layers.q8_a8_report
+    prev_attn = _attn._FORCE_REFERENCE
+    prev_q8 = _q8._REFERENCE_ONLY
     _layers.q8_a8_report = record
+    _attn.set_reference_attention(True)
+    _q8.set_reference_only(True)
     try:
-        out = serve(params, batch_stats, features)
-        jax.block_until_ready(out)   # flush the debug callbacks
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            out = serve(jax.tree.map(np.asarray, params),
+                        jax.tree.map(np.asarray, batch_stats), features)
+            jax.block_until_ready(out)   # flush the debug callbacks
     finally:
         _layers.q8_a8_report = prev
+        _attn.set_reference_attention(prev_attn)
+        _q8.set_reference_only(prev_q8)
     skip = frozenset(s for s, e in errs.items() if e > threshold)
     return errs, skip
 
