@@ -75,6 +75,28 @@ def test_reference_ab_trajectory_second_point(regime, tmp_path):
     assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= 0.25, (ref[-1], ours[-1])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("regime", ["Normal", "MLA"])
+def test_reference_ab_trajectory_third_point(regime, tmp_path):
+    """VERDICT r4 #8: a third (seed, size) point — seed 23, 64/32 clips.
+    Measured (BASELINE.md third-point table): scatter direction flips per
+    point and regime (Normal ours+6/ref+6/ours+2, MLA 0/0/ref+10 of 32),
+    so the band is on loss tracking + convergence, with accuracy inside
+    the three-point scatter envelope (<=0.35 = 11/32)."""
+    ref, ours, ref_init, our_init = run_ab(
+        regime, str(tmp_path / "d"), str(tmp_path), epochs=3,
+        n_train=64, n_test=32, seed=23)
+    for k in ("acc", "acc_a", "acc_v"):
+        assert abs(ref_init[k] - our_init[k]) < 1e-9, (k, ref_init, our_init)
+    for k in ("loss", "loss_a", "loss_v"):
+        assert abs(ref[0][k] - ours[0][k]) <= 0.06, (k, ref[0], ours[0])
+    dl, _ = trajectory_diffs(ref, ours)
+    assert dl <= 0.25, (dl, ref, ours)
+    assert ref[-1]["loss"] < 0.5 * ref[0]["loss"], ref
+    assert ours[-1]["loss"] < 0.5 * ours[0]["loss"], ours
+    assert abs(ref[-1]["acc"] - ours[-1]["acc"]) <= 0.35, (ref[-1], ours[-1])
+
+
 M3AE_REGIMES = {
     # transformer trajectories drift less than the BN-heavy CNN ones (no
     # invstd amplifier); bands set ~4x above measured drift
