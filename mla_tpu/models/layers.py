@@ -166,6 +166,25 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # int8 scan-blocks serving: when both kernels are stacked (L,.,.)
+        # int8 and a traced layer id is live, the whole MLP runs as ONE
+        # fused Pallas kernel (ops/q8_matmul.py q8_mlp_stacked) — half the
+        # dispatches, hidden activation confined to VMEM. W8A8 keeps the
+        # per-site QDense path (the fused kernel has no a8 variant).
+        fc1 = self.get_variable("params", "fc1") \
+            if self.has_variable("params", "fc1") else None
+        k1 = fc1.get("kernel") if isinstance(fc1, dict) else None
+        if (k1 is not None and getattr(k1, "ndim", 0) == 3
+                and k1.dtype == jnp.int8 and q8_stacked_layer is not None
+                and not q8_a8_enabled):
+            from mla_tpu.ops.q8_matmul import q8_mlp_stacked
+            fc2 = self.get_variable("params", "fc2")
+            y = q8_mlp_stacked(
+                x, k1, self.get_variable("q8", "fc1")["kernel_scale"],
+                fc1["bias"], fc2["kernel"],
+                self.get_variable("q8", "fc2")["kernel_scale"],
+                fc2["bias"], q8_stacked_layer)
+            return y.astype(self.dtype) if self.dtype is not None else y
         x = QDense(self.mlp_ratio * self.dim, dtype=self.dtype,
                    kernel_init=xavier_uniform, name="fc1")(x)
         x = nn.gelu(x, approximate=False)

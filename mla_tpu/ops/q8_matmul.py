@@ -346,3 +346,145 @@ def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
         bm, bk, bn = blocks
         out = _q8_matmul_pallas(x2, q8, scale, bm, bn, bk, interpret, a8)
     return out.reshape(lead + (q8.shape[1],)) if x.ndim != 2 else out
+
+
+# -- fused stacked int8 MLP: fc1 -> exact GELU -> fc2 in ONE kernel ----------
+# The b=1 serving forward is weight-read-bound AND dispatch-bound (256
+# Pallas GEMMs; BASELINE.md "Round-4/5" int8 ladder: stacked 9.99 ms vs
+# bf16 8.8). Fusing each block's MLP pair halves its dispatches and removes
+# the (M, H) hidden activation's HBM round-trip (~5.6 MB/layer at b=1):
+# the hidden tile lives only in VMEM. Weight traffic is unchanged —
+# W1/W2 still stream once as int8 via scalar-prefetch layer selection.
+# Scope: the single-row-block regime (padded M <= block_m); larger M falls
+# back to the two-GEMM path, which row-blocks / crossover-routes correctly.
+
+_SQRT1_2 = 0.7071067811865476
+
+
+def _gelu_exact(t):
+    """erf-based GELU, matching nn.gelu(approximate=False) in fp32."""
+    return 0.5 * t * (1.0 + jax.lax.erf(t * _SQRT1_2))
+
+
+def q8_mlp_reference(x, q8_1, s1, b1, q8_2, s2, b2, layer):
+    """jnp law (fallback + oracle): per-layer slices, dequant dots, exact
+    GELU — exactly what the unfused QDense pair computes (bf16 dots,
+    bias in bf16, GELU on the bf16 intermediate)."""
+    w1 = jax.lax.dynamic_index_in_dim(q8_1, layer, 0, keepdims=False)
+    sl1 = jax.lax.dynamic_index_in_dim(s1, layer, 0, keepdims=False)
+    w2 = jax.lax.dynamic_index_in_dim(q8_2, layer, 0, keepdims=False)
+    sl2 = jax.lax.dynamic_index_in_dim(s2, layer, 0, keepdims=False)
+    t = q8_matmul_reference(x, w1, sl1.reshape(1, -1))
+    t = t + b1.astype(t.dtype)
+    g = jax.nn.gelu(t, approximate=False)
+    out = q8_matmul_reference(g, w2, sl2.reshape(1, -1))
+    return out + b2.astype(out.dtype)
+
+
+def _kernel_mlp_stacked(l_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                        s2_ref, b2_ref, o_ref, acc):
+    """Grid (h_steps,): per step, a (C, bh) fc1 column block produces the
+    (M, bh) hidden tile in fp32 (scale + bias + exact GELU applied in
+    VMEM), which immediately contracts with the matching (bh, C) fc2 row
+    block into the fp32 output accumulator. The hidden activation never
+    touches HBM."""
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    t = jax.lax.dot_general(
+        x_ref[...], w1_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t = t * s1_ref[0].astype(jnp.float32) + b1_ref[...].astype(jnp.float32)
+    g = _gelu_exact(t).astype(jnp.bfloat16)
+    acc[...] += jax.lax.dot_general(
+        g, w2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _flush():
+        o_ref[...] = (acc[...] * s2_ref[0].astype(jnp.float32)
+                      + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def _q8_mlp_pallas(x, q8_1, s1, b1, q8_2, s2, b2, layer, bh, interpret):
+    b, c = x.shape
+    ldim, _, h = q8_1.shape
+    rows = -(-b // 16) * 16
+    xp = jnp.zeros((rows, c), jnp.bfloat16).at[:b].set(
+        x.astype(jnp.bfloat16))
+    grid = (h // bh,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda j, l: (0, 0)),          # x
+            pl.BlockSpec((1, c, bh), lambda j, l: (l[0], 0, j)),   # W1
+            pl.BlockSpec((1, 1, bh), lambda j, l: (l[0], 0, j)),   # s1
+            pl.BlockSpec((1, bh), lambda j, l: (0, j)),            # b1
+            pl.BlockSpec((1, bh, c), lambda j, l: (l[0], j, 0)),   # W2
+            pl.BlockSpec((1, 1, c), lambda j, l: (l[0], 0, 0)),    # s2
+            pl.BlockSpec((1, c), lambda j, l: (0, 0)),             # b2
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda j, l: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((rows, c), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _kernel_mlp_stacked,
+        out_shape=jax.ShapeDtypeStruct((rows, c), jnp.bfloat16),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, q8_1,
+      s1.reshape(ldim, 1, h), b1.reshape(1, h).astype(jnp.float32),
+      q8_2, s2.reshape(ldim, 1, c), b2.reshape(1, c).astype(jnp.float32))
+    return out[:b]
+
+
+def _mlp_bh(rows: int, c: int, h: int, cap: int = 2048):
+    """Largest 128-multiple divisor of H whose per-step working set (x +
+    double-buffered W1/W2 blocks + hidden tile + fp32 accumulator) fits
+    the VMEM budget; None -> fallback."""
+    for bh in _divisors_desc(h, cap):
+        vmem = (rows * c * 2 + 2 * (c * bh) + 2 * (bh * c)
+                + rows * bh * 4 + rows * c * 6)
+        if vmem <= _VMEM_BUDGET:
+            return bh
+    return None
+
+
+def q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer, *,
+                   block_m: int = 512, interpret: bool = False):
+    """Layer ``layer`` of a stacked int8 MLP: GELU(x @ W1s + b1) @ W2s + b2
+    with both int8 stacks read in place via scalar prefetch and the hidden
+    activation confined to VMEM. q8_1: (L, C, H); q8_2: (L, H, C);
+    s1/s2 per-(layer, out-channel); b1 (H,) / b2 (C,) already sliced to
+    the current layer (the scan slices small float leaves per step).
+    Falls back to the two-GEMM q8_matmul_stacked path (which row-blocks
+    and crossover-routes) when M exceeds one row block or shapes don't
+    tile."""
+    if q8_1.ndim != 3 or q8_2.ndim != 3:
+        raise ValueError(
+            f"q8_mlp_stacked takes (L,C,H)/(L,H,C), got {q8_1.shape} "
+            f"{q8_2.shape}")
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
+    ldim, c, h = q8_1.shape
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32), 0, ldim - 1)
+    on_tpu = (jax.default_backend() == "tpu" or interpret) \
+        and not _REFERENCE_ONLY
+    rows = -(-x2.shape[0] // 16) * 16
+    bh = _mlp_bh(rows, c, h) if on_tpu and rows <= block_m \
+        and c % 128 == 0 else None
+    if bh is None:
+        t = q8_matmul_stacked(x2, q8_1, s1, layer) + b1.astype(jnp.bfloat16)
+        g = jax.nn.gelu(t, approximate=False)
+        out = q8_matmul_stacked(g, q8_2, s2, layer) \
+            + b2.astype(jnp.bfloat16)
+    else:
+        out = _q8_mlp_pallas(x2, q8_1, s1, b1, q8_2, s2, b2, layer, bh,
+                             interpret)
+    return out.reshape(lead + (c,)) if x.ndim != 2 else out

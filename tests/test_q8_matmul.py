@@ -322,3 +322,67 @@ class TestQ8Stacked:
         got_f = q8_matmul_stacked(xu, q8u, scaleu, oob)
         ref_f = q8_matmul_stacked(xu, q8u, scaleu, want)
         np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
+
+
+class TestQ8MlpStacked:
+    """Fused stacked int8 MLP (fc1 -> exact GELU -> fc2 in one kernel)."""
+
+    def _case(self, m=5, c=256, h=512, depth=3, seed=9):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+        w1 = rng.normal(size=(depth, c, h)).astype(np.float32) / np.sqrt(c)
+        w2 = rng.normal(size=(depth, h, c)).astype(np.float32) / np.sqrt(h)
+        # per-(layer, out-channel) scales, axis=1 is the contraction dim
+        amax1 = np.max(np.abs(w1), axis=1, keepdims=True)
+        sc1 = np.maximum(amax1 / 127.0, 1e-12).astype(np.float32)
+        q8_1 = jnp.asarray(np.clip(np.round(w1 / sc1), -127, 127), jnp.int8)
+        amax2 = np.max(np.abs(w2), axis=1, keepdims=True)
+        sc2 = np.maximum(amax2 / 127.0, 1e-12).astype(np.float32)
+        q8_2 = jnp.asarray(np.clip(np.round(w2 / sc2), -127, 127), jnp.int8)
+        b1 = jnp.asarray(rng.normal(size=(h,)) * 0.02, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(c,)) * 0.02, jnp.float32)
+        return x, q8_1, jnp.asarray(sc1), b1, q8_2, jnp.asarray(sc2), b2
+
+    def test_fused_matches_reference_each_layer(self):
+        from mla_tpu.ops.q8_matmul import q8_mlp_reference, q8_mlp_stacked
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case()
+        for layer in range(3):
+            got = q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer,
+                                 interpret=True)
+            ref = q8_mlp_reference(np.asarray(x), q8_1, s1, b1, q8_2, s2,
+                                   b2, layer)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=3e-2, atol=3e-2)
+
+    def test_big_m_falls_back_to_two_gemms(self, monkeypatch):
+        """M > one row block: the fused kernel would lose x-residency, so
+        the pair path (with its own crossover routing) takes over."""
+        import mla_tpu.ops.q8_matmul as q8mod
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case(m=600)
+
+        def boom(*a, **k):
+            raise AssertionError("fused kernel taken for big-M MLP")
+
+        monkeypatch.setattr(q8mod, "_q8_mlp_pallas", boom)
+        got = q8mod.q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, 1,
+                                   interpret=True)
+        ref = q8mod.q8_mlp_reference(np.asarray(x), q8_1, s1, b1, q8_2,
+                                     s2, b2, 1)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2)
+
+    def test_leading_dims_and_oob_clamp(self):
+        from mla_tpu.ops.q8_matmul import q8_mlp_stacked
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case()
+        x3 = jnp.stack([x, x + 0.5])          # (2, M, C)
+        got = q8_mlp_stacked(x3, q8_1, s1, b1, q8_2, s2, b2, 0,
+                             interpret=True)
+        assert got.shape == (2, x.shape[0], x.shape[1])
+        # OOB layer id clamps (shared law with q8_matmul_stacked)
+        hi = q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, 99,
+                            interpret=True)
+        last = q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, 2,
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(last))
