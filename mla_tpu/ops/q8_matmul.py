@@ -361,9 +361,22 @@ def q8_matmul(x, q8, scale, *, block_m: int = 512, block_n: int = 2048,
 _SQRT1_2 = 0.7071067811865476
 
 
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |error| < 1.5e-7 — below
+    bf16 resolution. Mosaic has no erf lowering (only exp), so the kernel
+    carries its own."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(t):
-    """erf-based GELU, matching nn.gelu(approximate=False) in fp32."""
-    return 0.5 * t * (1.0 + jax.lax.erf(t * _SQRT1_2))
+    """erf-based GELU, matching nn.gelu(approximate=False) to ~1.5e-7
+    in fp32 (the polynomial erf above)."""
+    return 0.5 * t * (1.0 + _erf_poly(t * _SQRT1_2))
 
 
 def q8_mlp_reference(x, q8_1, s1, b1, q8_2, s2, b2, layer):
