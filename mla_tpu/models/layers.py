@@ -111,9 +111,15 @@ class QDense(nn.Dense):
             scale = self.get_variable("q8", "kernel_scale")
             if kernel.ndim == 3:
                 # full (L, K, N) stack: the traced layer id (set by
-                # m3ae._q8_stacked_scan) selects tiles via scalar prefetch
+                # m3ae._q8_stacked_scan) selects tiles via scalar prefetch;
+                # under int8_a8 the stacked GEMM runs s8 x s8 at the int8
+                # MXU rate (same site-skip law as the 2-D branch)
+                site = "/".join(self.path)
+                a8 = q8_a8_enabled and site not in q8_a8_skip
+                if a8 and q8_a8_report is not None:
+                    _report_a8_relerr(site, inputs)
                 y = q8_matmul_stacked(inputs, kernel, scale,
-                                      q8_stacked_layer)
+                                      q8_stacked_layer, a8=a8)
             else:
                 site = "/".join(self.path)
                 a8 = q8_a8_enabled and site not in q8_a8_skip
@@ -169,22 +175,31 @@ class Mlp(nn.Module):
         # int8 scan-blocks serving: when both kernels are stacked (L,.,.)
         # int8 and a traced layer id is live, the whole MLP runs as ONE
         # fused Pallas kernel (ops/q8_matmul.py q8_mlp_stacked) — half the
-        # dispatches, hidden activation confined to VMEM. W8A8 keeps the
-        # per-site QDense path (the fused kernel has no a8 variant).
+        # dispatches, hidden activation confined to VMEM. Under W8A8 the
+        # fused kernel runs s8 x s8 at the int8 MXU rate when BOTH sites
+        # passed calibration; a skipped site (or an active calibration
+        # probe, which reports per QDense site) keeps the per-site path.
         fc1 = self.get_variable("params", "fc1") \
             if self.has_variable("params", "fc1") else None
         k1 = fc1.get("kernel") if isinstance(fc1, dict) else None
         if (k1 is not None and getattr(k1, "ndim", 0) == 3
-                and k1.dtype == jnp.int8 and q8_stacked_layer is not None
-                and not q8_a8_enabled):
-            from mla_tpu.ops.q8_matmul import q8_mlp_stacked
-            fc2 = self.get_variable("params", "fc2")
-            y = q8_mlp_stacked(
-                x, k1, self.get_variable("q8", "fc1")["kernel_scale"],
-                fc1["bias"], fc2["kernel"],
-                self.get_variable("q8", "fc2")["kernel_scale"],
-                fc2["bias"], q8_stacked_layer)
-            return y.astype(self.dtype) if self.dtype is not None else y
+                and k1.dtype == jnp.int8 and q8_stacked_layer is not None):
+            a8 = False
+            fused_ok = True
+            if q8_a8_enabled:
+                sites = ("/".join(self.path + ("fc1",)),
+                         "/".join(self.path + ("fc2",)))
+                a8 = all(s not in q8_a8_skip for s in sites)
+                fused_ok = a8 and q8_a8_report is None
+            if fused_ok:
+                from mla_tpu.ops.q8_matmul import q8_mlp_stacked
+                fc2 = self.get_variable("params", "fc2")
+                y = q8_mlp_stacked(
+                    x, k1, self.get_variable("q8", "fc1")["kernel_scale"],
+                    fc1["bias"], fc2["kernel"],
+                    self.get_variable("q8", "fc2")["kernel_scale"],
+                    fc2["bias"], q8_stacked_layer, a8=a8)
+                return y.astype(self.dtype) if self.dtype is not None else y
         x = QDense(self.mlp_ratio * self.dim, dtype=self.dtype,
                    kernel_init=xavier_uniform, name="fc1")(x)
         x = nn.gelu(x, approximate=False)

@@ -196,13 +196,11 @@ class M3AEEncoder(nn.Module):
 
     def _blocks_q8_stacked(self) -> bool:
         """True when the restored block stack carries stacked int8 kernels —
-        an --export_dtype int8 + --scan_blocks serving artifact
+        an --export_dtype int8/int8_a8 + --scan_blocks serving artifact
         (runtime/export.py:split_q8 keeps the (L, K, N) layer axis). W8A8
-        (q8_a8_enabled) keeps the nn.scan path: the stacked kernel has no a8
-        variant, and the per-layer slice it pays is the documented trade."""
-        from mla_tpu.models import layers as layers_mod
-        if layers_mod.q8_a8_enabled:
-            return False
+        rides the same path since round 5: the stacked GEMM and the fused
+        MLP both have s8 x s8 variants (ops/q8_matmul.py a8=True), so a8
+        gets the in-place stacked weight reads AND the int8 MXU rate."""
         try:
             k = self.variables["params"]["blocks"]["attn"]["qkv"]["kernel"]
         except (KeyError, TypeError):

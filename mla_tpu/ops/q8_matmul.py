@@ -234,14 +234,42 @@ def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc):
                       ).astype(o_ref.dtype)
 
 
+def _kernel_stacked_a8(l_ref, x_ref, w_ref, s_ref, o_ref, acc):
+    """W8A8 stacked: s8 x s8 into the MXU at the int8 rate with the weight
+    stack read in place via scalar prefetch; exact int32 accumulation. The
+    per-(layer, out-channel) weight scale applies at flush; the per-row
+    activation scale is applied by the caller (XLA fuses it into the
+    output's first consumer)."""
+    del l_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = (acc[...].astype(jnp.float32)
+                      * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def _q8_stacked_pallas(x, q8, scale, layer, bm, bn, bk, interpret):
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret", "a8"))
+def _q8_stacked_pallas(x, q8, scale, layer, bm, bn, bk, interpret,
+                       a8=False):
     b, kdim = x.shape
     _, _, n = q8.shape
     rows = -(-b // bm) * bm
-    xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
-        x.astype(jnp.bfloat16))
+    if a8:
+        xq, xs = quantize_rows(x)
+        xp = jnp.zeros((rows, kdim), jnp.int8).at[:b].set(xq)
+    else:
+        xp = jnp.zeros((rows, kdim), jnp.bfloat16).at[:b].set(
+            x.astype(jnp.bfloat16))
     grid = (rows // bm, n // bn, kdim // bk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -252,20 +280,24 @@ def _q8_stacked_pallas(x, q8, scale, layer, bm, bn, bk, interpret):
             pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn),
+                                   jnp.int32 if a8 else jnp.float32)],
     )
     out = pl.pallas_call(
-        _kernel_stacked,
+        _kernel_stacked_a8 if a8 else _kernel_stacked,
         out_shape=jax.ShapeDtypeStruct((rows, n), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xp, q8, scale)
+    if a8:
+        return (out[:b].astype(jnp.float32) * xs[:, None]
+                ).astype(jnp.bfloat16)
     return out[:b]
 
 
 def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
                       block_n: int = 2048, block_k: int = 2048,
-                      interpret: bool = False):
+                      interpret: bool = False, a8: bool = False):
     """Layer ``layer`` of a stacked int8 GEMM: x @ (q8[layer] * scale[layer]).
 
     q8 is the FULL (L, K, N) int8 stack living in HBM; the traced layer id
@@ -278,6 +310,10 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
 
     scale: (L, N) or (L, 1, N) per-(layer, output-channel). Fallback: jnp
     reference on the dynamically sliced layer when shapes don't tile.
+    a8=True quantizes the activation rows to int8 so the MXU runs s8 x s8
+    at the chip's int8 rate (the --export_dtype int8_a8 stacked law); like
+    q8_matmul's a8, it keeps the Pallas path at every row count — falling
+    back would give up the int8 rate, not just the weight-read law.
     """
     if q8.ndim != 3:
         raise ValueError(f"q8_matmul_stacked takes (L,K,N), got {q8.shape}")
@@ -290,17 +326,19 @@ def q8_matmul_stacked(x, q8, scale, layer, *, block_m: int = 512,
     scale3 = scale.reshape(ldim, 1, n)
     on_tpu = (jax.default_backend() == "tpu" or interpret) \
         and not _REFERENCE_ONLY
-    pallas_ok = on_tpu and x2.shape[0] <= _ROWS_CROSSOVER_BLOCKS * block_m
+    pallas_ok = on_tpu and (
+        a8 or x2.shape[0] <= _ROWS_CROSSOVER_BLOCKS * block_m)
     blocks = _choose_blocks(x2.shape[0], kdim, n, block_m, block_k,
-                            block_n) if pallas_ok else None
+                            block_n, row_mult=32 if a8 else 16) \
+        if pallas_ok else None
     if blocks is None:
-        out = q8_matmul_reference(
+        out = (q8_matmul_a8_reference if a8 else q8_matmul_reference)(
             x2, jax.lax.dynamic_index_in_dim(q8, layer, 0, keepdims=False),
             jax.lax.dynamic_index_in_dim(scale3, layer, 0, keepdims=False))
     else:
         bm, bk, bn = blocks
         out = _q8_stacked_pallas(x2, q8, scale3, layer, bm, bn, bk,
-                                 interpret)
+                                 interpret, a8)
     return out.reshape(lead + (n,)) if x.ndim != 2 else out
 
 
@@ -396,13 +434,13 @@ def q8_mlp_reference(x, q8_1, s1, b1, q8_2, s2, b2, layer):
 
 def _kernel_mlp_stacked(l_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
                         s2_ref, b2_ref, o_ref, acc):
-    """Grid (h_steps,): per step, a (C, bh) fc1 column block produces the
-    (M, bh) hidden tile in fp32 (scale + bias + exact GELU applied in
-    VMEM), which immediately contracts with the matching (bh, C) fc2 row
-    block into the fp32 output accumulator. The hidden activation never
-    touches HBM."""
+    """Grid (m_steps, h_steps), h fastest: per step, a (C, bh) fc1 column
+    block produces the (bm, bh) hidden tile in fp32 (scale + bias + exact
+    GELU applied in VMEM), which immediately contracts with the matching
+    (bh, C) fc2 row block into the fp32 output accumulator. The hidden
+    activation never touches HBM."""
     del l_ref
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -417,60 +455,140 @@ def _kernel_mlp_stacked(l_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
         g, w2_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    @pl.when(j == pl.num_programs(0) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _flush():
         o_ref[...] = (acc[...] * s2_ref[0].astype(jnp.float32)
                       + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
-def _q8_mlp_pallas(x, q8_1, s1, b1, q8_2, s2, b2, layer, bh, interpret):
+def _kernel_mlp_stacked_a8(l_ref, x_ref, xs_ref, w1_ref, s1_ref, b1_ref,
+                           w2_ref, s2_ref, b2_ref, o_ref, acc):
+    """W8A8 fused MLP: both GEMMs run s8 x s8 at the int8 MXU rate. fc1
+    consumes the caller's per-row-quantized activation (xs rides in as a
+    lane-broadcast column); the fp32 hidden tile (scales + bias + exact
+    GELU) is re-quantized IN VMEM per (row, column-tile) — finer than the
+    per-site a8 law's per-row granularity, so its rounding error is
+    bounded by the calibrated per-site error — and contracts with the fc2
+    row block into the fp32 accumulator."""
+    del l_ref
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    t = jax.lax.dot_general(
+        x_ref[...], w1_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    xs = xs_ref[...][:, :1]                       # (bm, 1) per-row scale
+    t = (t.astype(jnp.float32) * xs * s1_ref[0].astype(jnp.float32)
+         + b1_ref[...].astype(jnp.float32))
+    g = _gelu_exact(t)
+    sg = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    gq = jnp.clip(jnp.round(g / sg), -127, 127).astype(jnp.int8)
+    acc[...] += jax.lax.dot_general(
+        gq, w2_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sg
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        o_ref[...] = (acc[...] * s2_ref[0].astype(jnp.float32)
+                      + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bh", "interpret", "a8"))
+def _q8_mlp_pallas(x, q8_1, s1, b1, q8_2, s2, b2, layer, bm, bh, interpret,
+                   a8=False):
     b, c = x.shape
     ldim, _, h = q8_1.shape
-    rows = -(-b // 16) * 16
-    xp = jnp.zeros((rows, c), jnp.bfloat16).at[:b].set(
-        x.astype(jnp.bfloat16))
-    grid = (h // bh,)
+    rows = -(-b // bm) * bm
+    if a8:
+        xq, xs = quantize_rows(x)
+        xp = jnp.zeros((rows, c), jnp.int8).at[:b].set(xq)
+        # per-row activation scale, lane-broadcast so the block keeps the
+        # (sublane, 128-lane) layout Mosaic wants
+        xs2 = jnp.broadcast_to(
+            jnp.zeros((rows,), jnp.float32).at[:b].set(xs)[:, None],
+            (rows, 128))
+    else:
+        xp = jnp.zeros((rows, c), jnp.bfloat16).at[:b].set(
+            x.astype(jnp.bfloat16))
+    grid = (rows // bm, h // bh)
+    in_specs = [
+        pl.BlockSpec((bm, c), lambda i, j, l: (i, 0)),             # x
+        pl.BlockSpec((1, c, bh), lambda i, j, l: (l[0], 0, j)),    # W1
+        pl.BlockSpec((1, 1, bh), lambda i, j, l: (l[0], 0, j)),    # s1
+        pl.BlockSpec((1, bh), lambda i, j, l: (0, j)),             # b1
+        pl.BlockSpec((1, bh, c), lambda i, j, l: (l[0], j, 0)),    # W2
+        pl.BlockSpec((1, 1, c), lambda i, j, l: (l[0], 0, 0)),     # s2
+        pl.BlockSpec((1, c), lambda i, j, l: (0, 0)),              # b2
+    ]
+    if a8:
+        in_specs.insert(1, pl.BlockSpec((bm, 128),
+                                        lambda i, j, l: (i, 0)))   # xs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, c), lambda j, l: (0, 0)),          # x
-            pl.BlockSpec((1, c, bh), lambda j, l: (l[0], 0, j)),   # W1
-            pl.BlockSpec((1, 1, bh), lambda j, l: (l[0], 0, j)),   # s1
-            pl.BlockSpec((1, bh), lambda j, l: (0, j)),            # b1
-            pl.BlockSpec((1, bh, c), lambda j, l: (l[0], j, 0)),   # W2
-            pl.BlockSpec((1, 1, c), lambda j, l: (l[0], 0, 0)),    # s2
-            pl.BlockSpec((1, c), lambda j, l: (0, 0)),             # b2
-        ],
-        out_specs=pl.BlockSpec((rows, c), lambda j, l: (0, 0)),
-        scratch_shapes=[pltpu.VMEM((rows, c), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, c), lambda i, j, l: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
     )
+    operands = [jnp.asarray(layer, jnp.int32).reshape(1), xp]
+    if a8:
+        operands.append(xs2)
+    operands += [q8_1, s1.reshape(ldim, 1, h),
+                 b1.reshape(1, h).astype(jnp.float32),
+                 q8_2, s2.reshape(ldim, 1, c),
+                 b2.reshape(1, c).astype(jnp.float32)]
     out = pl.pallas_call(
-        _kernel_mlp_stacked,
+        _kernel_mlp_stacked_a8 if a8 else _kernel_mlp_stacked,
         out_shape=jax.ShapeDtypeStruct((rows, c), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, q8_1,
-      s1.reshape(ldim, 1, h), b1.reshape(1, h).astype(jnp.float32),
-      q8_2, s2.reshape(ldim, 1, c), b2.reshape(1, c).astype(jnp.float32))
+    )(*operands)
     return out[:b]
 
 
-def _mlp_bh(rows: int, c: int, h: int, cap: int = 2048):
+def _mlp_bh(rows: int, c: int, h: int, cap: int = 2048, a8: bool = False):
     """Largest 128-multiple divisor of H whose per-step working set (x +
-    double-buffered W1/W2 blocks + hidden tile + fp32 accumulator) fits
-    the VMEM budget; None -> fallback."""
+    double-buffered W1/W2 blocks + hidden tile + fp32 accumulator; under
+    a8 also the lane-broadcast row scales and the re-quantized s8 hidden)
+    fits the VMEM budget; None -> fallback."""
     for bh in _divisors_desc(h, cap):
-        vmem = (rows * c * 2 + 2 * (c * bh) + 2 * (bh * c)
+        vmem = (rows * c * (1 if a8 else 2) + 2 * (c * bh) + 2 * (bh * c)
                 + rows * bh * 4 + rows * c * 6)
+        if a8:
+            vmem += rows * 128 * 4 + rows * bh
         if vmem <= _VMEM_BUDGET:
             return bh
     return None
 
 
+def _mlp_bm_a8(rows: int, c: int, h: int, cap: int = 1024):
+    """Row block for the a8 fused MLP's (m_steps, h_steps) grid: fewest
+    row passes first (each re-streams both weight stacks once), then least
+    padding — bounded at ~6% wasted rows — then the largest block, subject
+    to some bh fitting VMEM. Returns (bm, bh) or None (fallback)."""
+    best = None
+    top = min(cap, -(-rows // 32) * 32)
+    for bm in range(top, 31, -32):
+        steps = -(-rows // bm)
+        pad = steps * bm - rows
+        if pad > max(rows // 16, 32):
+            continue
+        bh = _mlp_bh(bm, c, h, a8=True)
+        if bh is None:
+            continue
+        key = (steps, pad, -bm)
+        if best is None or key < best[0]:
+            best = (key, (bm, bh))
+    return best[1] if best else None
+
+
 def q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer, *,
-                   block_m: int = 512, interpret: bool = False):
+                   block_m: int = 512, interpret: bool = False,
+                   a8: bool = False):
     """Layer ``layer`` of a stacked int8 MLP: GELU(x @ W1s + b1) @ W2s + b2
     with both int8 stacks read in place via scalar prefetch and the hidden
     activation confined to VMEM. q8_1: (L, C, H); q8_2: (L, H, C);
@@ -478,7 +596,15 @@ def q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer, *,
     the current layer (the scan slices small float leaves per step).
     Falls back to the two-GEMM q8_matmul_stacked path (which row-blocks
     and crossover-routes) when M exceeds one row block or shapes don't
-    tile."""
+    tile.
+
+    a8=True is the W8A8 fused law: both GEMMs run s8 x s8 at the int8 MXU
+    rate (x per-row-quantized by the caller-side wrapper, the hidden tile
+    re-quantized per (row, column-tile) in VMEM — finer granularity than
+    the per-site a8 law, so its error is bounded by the calibrated
+    per-site error). The a8 path row-blocks over a (m_steps, h_steps)
+    grid (_mlp_bm_a8), so it serves EVERY row count — matching q8_matmul's
+    a8 crossover exemption: falling back would give up the int8 rate."""
     if q8_1.ndim != 3 or q8_2.ndim != 3:
         raise ValueError(
             f"q8_mlp_stacked takes (L,C,H)/(L,H,C), got {q8_1.shape} "
@@ -489,6 +615,20 @@ def q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer, *,
     layer = jnp.clip(jnp.asarray(layer, jnp.int32), 0, ldim - 1)
     on_tpu = (jax.default_backend() == "tpu" or interpret) \
         and not _REFERENCE_ONLY
+    if a8:
+        choice = _mlp_bm_a8(x2.shape[0], c, h) \
+            if on_tpu and c % 128 == 0 else None
+        if choice is None:
+            t = q8_matmul_stacked(x2, q8_1, s1, layer, a8=True) \
+                + b1.astype(jnp.bfloat16)
+            g = jax.nn.gelu(t, approximate=False)
+            out = q8_matmul_stacked(g, q8_2, s2, layer, a8=True) \
+                + b2.astype(jnp.bfloat16)
+        else:
+            bm, bh = choice
+            out = _q8_mlp_pallas(x2, q8_1, s1, b1, q8_2, s2, b2, layer,
+                                 bm, bh, interpret, a8=True)
+        return out.reshape(lead + (c,)) if x.ndim != 2 else out
     rows = -(-x2.shape[0] // 16) * 16
     bh = _mlp_bh(rows, c, h) if on_tpu and rows <= block_m \
         and c % 128 == 0 else None
@@ -498,6 +638,6 @@ def q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer, *,
         out = q8_matmul_stacked(g, q8_2, s2, layer) \
             + b2.astype(jnp.bfloat16)
     else:
-        out = _q8_mlp_pallas(x2, q8_1, s1, b1, q8_2, s2, b2, layer, bh,
-                             interpret)
+        out = _q8_mlp_pallas(x2, q8_1, s1, b1, q8_2, s2, b2, layer, rows,
+                             bh, interpret)
     return out.reshape(lead + (c,)) if x.ndim != 2 else out

@@ -386,3 +386,126 @@ class TestQ8MlpStacked:
         last = q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, 2,
                               interpret=True)
         np.testing.assert_array_equal(np.asarray(hi), np.asarray(last))
+
+
+class TestQ8StackedA8:
+    """a8=True stacked law: s8 x s8 at the int8 MXU rate with in-place
+    stacked weight reads — the --export_dtype int8_a8 scan-blocks path
+    (models/layers.py QDense 3-D branch)."""
+
+    def _stack(self, L, k, n, seed=3):
+        rng = np.random.default_rng(seed)
+        w = (rng.normal(size=(L, k, n)) / np.sqrt(k)).astype(np.float32)
+        amax = np.max(np.abs(w), axis=1, keepdims=True)
+        scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+        q8 = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(q8), jnp.asarray(scale)
+
+    def test_matches_sliced_a8_reference_each_layer(self):
+        from mla_tpu.ops.q8_matmul import (q8_matmul_a8_reference,
+                                           q8_matmul_stacked)
+        q8, scale = self._stack(3, 256, 384)
+        x = jnp.asarray(np.random.default_rng(4).normal(size=(37, 256)),
+                        jnp.float32)
+        for l in range(3):
+            got = q8_matmul_stacked(x, q8, scale, l, interpret=True,
+                                    a8=True)
+            ref = q8_matmul_a8_reference(x, q8[l],
+                                         scale[l].reshape(1, -1))
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2)
+
+    def test_a8_serves_every_row_count(self, monkeypatch):
+        """Unlike the weight-only path, a8 has no dequant-dot crossover:
+        big M still rides the Pallas grid (falling back would give up the
+        int8 MXU rate, not just the weight-read law)."""
+        import mla_tpu.ops.q8_matmul as q8mod
+        q8, scale = self._stack(2, 256, 128)
+        x = jnp.asarray(np.random.default_rng(5).normal(size=(4200, 256)),
+                        jnp.float32)
+
+        def boom(*a, **k):
+            raise AssertionError("a8 stacked fell back to the reference")
+
+        monkeypatch.setattr(q8mod, "q8_matmul_a8_reference", boom)
+        got = q8mod.q8_matmul_stacked(x, q8, scale, 1, interpret=True,
+                                      a8=True)
+        assert got.shape == (4200, 128)
+
+    def test_oob_layer_clamps(self):
+        from mla_tpu.ops.q8_matmul import q8_matmul_stacked
+        q8, scale = self._stack(3, 256, 128)
+        x = jnp.asarray(np.random.default_rng(6).normal(size=(5, 256)),
+                        jnp.float32)
+        hi = q8_matmul_stacked(x, q8, scale, 99, interpret=True, a8=True)
+        last = q8_matmul_stacked(x, q8, scale, 2, interpret=True, a8=True)
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(last))
+
+
+class TestQ8MlpStackedA8:
+    """a8=True fused MLP: both GEMMs s8 x s8; the hidden tile re-quantizes
+    per (row, column-tile) in VMEM — finer than the per-site per-row law,
+    so the composed error stays within the per-site a8 bound."""
+
+    _case = TestQ8MlpStacked._case
+
+    def test_tracks_fp_oracle_and_a8_pair(self):
+        from mla_tpu.ops.q8_matmul import (q8_matmul_stacked,
+                                           q8_mlp_reference,
+                                           q8_mlp_stacked)
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case(m=37)
+        for layer in (0, 2):
+            fused = q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, layer,
+                                   interpret=True, a8=True)
+            fp = q8_mlp_reference(x, q8_1, s1, b1, q8_2, s2, b2, layer)
+            t = q8_matmul_stacked(x, q8_1, s1, layer, interpret=True,
+                                  a8=True) + b1.astype(jnp.bfloat16)
+            pair = q8_matmul_stacked(
+                jax.nn.gelu(t, approximate=False), q8_2, s2, layer,
+                interpret=True, a8=True) + b2.astype(jnp.bfloat16)
+            for ref, bound in ((fp, 5e-2), (pair, 3e-2)):
+                num = np.linalg.norm(np.asarray(fused, np.float32)
+                                     - np.asarray(ref, np.float32))
+                den = np.linalg.norm(np.asarray(ref, np.float32)) + 1e-9
+                assert num / den < bound
+
+    def test_multirow_grid_bit_equal_to_single_block(self):
+        """The per-(row, tile) hidden quantization is independent of the
+        row blocking, so any bm gives bit-identical output."""
+        from mla_tpu.ops.q8_matmul import _q8_mlp_pallas
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case(m=200)
+        multi = _q8_mlp_pallas(x, q8_1, s1, b1, q8_2, s2, b2, 1, 64, 128,
+                               True, True)
+        single = _q8_mlp_pallas(x, q8_1, s1, b1, q8_2, s2, b2, 1, 224,
+                                128, True, True)
+        np.testing.assert_array_equal(np.asarray(multi),
+                                      np.asarray(single))
+
+    def test_big_m_stays_fused(self, monkeypatch):
+        """a8 keeps the fused kernel at every row count via the
+        (m_steps, h_steps) grid — the weight-only big-M fallback would
+        give up the int8 MXU rate."""
+        import mla_tpu.ops.q8_matmul as q8mod
+        x, q8_1, s1, b1, q8_2, s2, b2 = self._case(m=600)
+
+        def boom(*a, **k):
+            raise AssertionError("a8 fused MLP fell back to the pair")
+
+        monkeypatch.setattr(q8mod, "q8_matmul_stacked", boom)
+        got = q8mod.q8_mlp_stacked(x, q8_1, s1, b1, q8_2, s2, b2, 1,
+                                   interpret=True, a8=True)
+        assert got.shape == x.shape
+
+    def test_bm_chooser(self):
+        from mla_tpu.ops.q8_matmul import _mlp_bm_a8
+        # huge b=16 shape: fewest passes with small padding
+        got = _mlp_bm_a8(4112, 1280, 5120)
+        assert got is not None
+        bm, bh = got
+        assert bm % 32 == 0 and 5120 % bh == 0
+        steps = -(-4112 // bm)
+        assert steps * bm - 4112 <= 4112 // 16
+        # tiny rows: one block
+        bm1, _ = _mlp_bm_a8(257, 1280, 5120)
+        assert -(-257 // bm1) == 1
